@@ -1,0 +1,103 @@
+"""Anchor<->GT matching and balanced fg/bg sampling, fixed-shape & mask-based.
+
+TPU re-design of the torchvision-derived ``Matcher`` and
+``BalancedPositiveNegativeSampler`` (reference ``model/utils.py:35-211``):
+
+- ``match_anchors``: argmax over the (num_gt, num_anchors) IoU matrix with
+  the two-threshold stratification (>= high -> match, [low, high) -> ignore
+  (-2), < low -> background (-1)), plus the "allow low-quality matches" rule
+  (each gt's best anchors — including ties — are force-matched).  GT padding
+  is handled by a ``gt_valid`` mask: padded gt rows never win the argmax and
+  never force-match.
+- ``sample_balanced``: fixed-proportion positive/negative sampling returning
+  two boolean masks.  Uses masked random-priority top-k instead of randperm
+  so shapes stay static: num_pos = min(#pos, batch*frac) and
+  num_neg = min(#neg, batch - num_pos), both traced scalars compared
+  elementwise against ranks.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+BELOW_LOW_THRESHOLD = -1
+BETWEEN_THRESHOLDS = -2
+
+
+def match_anchors(
+    iou: jax.Array,
+    gt_valid: jax.Array,
+    high_threshold: float,
+    low_threshold: float,
+    allow_low_quality: bool = True,
+) -> jax.Array:
+    """Match anchors to gt boxes.
+
+    Args:
+        iou: (num_gt, num_anchors) match quality; padded gt rows can hold
+            anything — they are masked via ``gt_valid``.
+        gt_valid: (num_gt,) bool.
+        high_threshold / low_threshold: fg / bg IoU cutoffs.
+        allow_low_quality: force-match each valid gt's best anchors (ties
+            within exact equality, as in the reference).
+
+    Returns:
+        matches: (num_anchors,) int32 — gt index, or -1 (background) or
+            -2 (ignore).
+    """
+    masked = jnp.where(gt_valid[:, None], iou, -1.0)
+    matched_vals = jnp.max(masked, axis=0)
+    matches = jnp.argmax(masked, axis=0).astype(jnp.int32)
+
+    labels = jnp.where(matched_vals < low_threshold, BELOW_LOW_THRESHOLD, matches)
+    labels = jnp.where(
+        (matched_vals >= low_threshold) & (matched_vals < high_threshold),
+        BETWEEN_THRESHOLDS,
+        labels,
+    )
+
+    if allow_low_quality:
+        # each valid gt: every anchor tied at that gt's best IoU gets the
+        # anchor's own pre-threshold argmax match restored
+        best_per_gt = jnp.max(jnp.where(gt_valid[:, None], iou, -jnp.inf), axis=1)
+        is_best = (iou == best_per_gt[:, None]) & gt_valid[:, None]
+        force = jnp.any(is_best, axis=0)
+        labels = jnp.where(force, matches, labels)
+
+    return labels
+
+
+def sample_balanced(
+    key: jax.Array,
+    matches: jax.Array,
+    batch_size: int,
+    positive_fraction: float,
+):
+    """Sample a fixed budget of fg/bg anchors.
+
+    Args:
+        key: PRNG key.
+        matches: (N,) output of ``match_anchors`` (>= 0 fg, -1 bg, -2 ignore).
+        batch_size: total samples per scene (e.g. 256).
+        positive_fraction: e.g. 0.5.
+
+    Returns:
+        (pos_mask, neg_mask): (N,) bool each.
+    """
+    is_pos = matches >= 0
+    is_neg = matches == BELOW_LOW_THRESHOLD
+    n_pos_avail = jnp.sum(is_pos)
+    n_neg_avail = jnp.sum(is_neg)
+    num_pos = jnp.minimum(n_pos_avail, int(batch_size * positive_fraction))
+    num_neg = jnp.minimum(n_neg_avail, batch_size - num_pos)
+
+    kp, kn = jax.random.split(key)
+
+    def pick(k, mask, budget):
+        r = jax.random.uniform(k, mask.shape)
+        prio = jnp.where(mask, r, jnp.inf)
+        rank = jnp.argsort(jnp.argsort(prio))  # rank within ascending priority
+        return mask & (rank < budget)
+
+    return pick(kp, is_pos, num_pos), pick(kn, is_neg, num_neg)

@@ -1,0 +1,106 @@
+"""Coder round-trip and known-value tests."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from nerf_rpn_tpu.ops.coders import (
+    encode_aabb,
+    decode_aabb,
+    encode_midpoint_offset,
+    decode_midpoint_offset,
+    encode_rotated,
+    decode_rotated,
+)
+from nerf_rpn_tpu.ops.obb import obb2hbb_3d
+
+
+def random_aabbs(rng, n):
+    lo = rng.uniform(0, 50, (n, 3))
+    sz = rng.uniform(2, 30, (n, 3))
+    return np.concatenate([lo, lo + sz], -1).astype(np.float32)
+
+
+def test_aabb_roundtrip(rng):
+    gt = random_aabbs(rng, 64)
+    anchors = random_aabbs(rng, 64)
+    deltas = encode_aabb(jnp.asarray(gt), jnp.asarray(anchors))
+    rec = np.asarray(decode_aabb(deltas, jnp.asarray(anchors)))
+    np.testing.assert_allclose(rec, gt, rtol=1e-4, atol=1e-3)
+
+
+def test_aabb_zero_deltas_identity(rng):
+    anchors = random_aabbs(rng, 8)
+    rec = np.asarray(decode_aabb(jnp.zeros((8, 6)), jnp.asarray(anchors)))
+    np.testing.assert_allclose(rec, anchors, rtol=1e-5)
+
+
+def test_aabb_exp_clamp():
+    anchors = jnp.asarray([[0, 0, 0, 1, 1, 1]], jnp.float32)
+    deltas = jnp.asarray([[0, 0, 0, 50, 50, 50]], jnp.float32)
+    rec = np.asarray(decode_aabb(deltas, anchors))
+    size = rec[0, 3:] - rec[0, :3]
+    np.testing.assert_allclose(size, 2000.0, rtol=1e-3)
+
+
+def random_obbs(rng, n, canonical=True):
+    obbs = np.zeros((n, 7), np.float32)
+    obbs[:, :3] = rng.uniform(10, 40, (n, 3))
+    w = rng.uniform(6, 12, n)
+    h = rng.uniform(2, 5, n)  # strictly < w so the obb is canonical
+    obbs[:, 3] = np.maximum(w, h) if canonical else w
+    obbs[:, 4] = np.minimum(w, h) if canonical else h
+    obbs[:, 5] = rng.uniform(2, 10, n)
+    # |theta| in [0.1, pi/2 - 0.1]: outside this band the midpoint-offset
+    # representation is inherently ambiguous (two corners fall within the
+    # coder's 0.1 corner-on-edge tolerance — same lossy regime as the
+    # reference coder)
+    mag = rng.uniform(0.1, np.pi / 2 - 0.1, n)
+    obbs[:, 6] = mag * rng.choice([-1.0, 1.0], n)
+    return obbs
+
+
+def test_midpoint_offset_roundtrip(rng):
+    """encode(gt, anchor) -> decode must reproduce the gt OBB (mod theta+-pi/2
+    symmetry handled by canonical gt)."""
+    gt = random_obbs(rng, 64)
+    # anchors: enclosing AABBs jittered a bit
+    anchors = np.array(obb2hbb_3d(jnp.asarray(gt)))
+    anchors[:, :3] -= rng.uniform(0.5, 1.5, (64, 3))
+    anchors[:, 3:] += rng.uniform(0.5, 1.5, (64, 3))
+    deltas = encode_midpoint_offset(jnp.asarray(gt), jnp.asarray(anchors))
+    rec = np.asarray(decode_midpoint_offset(deltas, jnp.asarray(anchors)))
+    np.testing.assert_allclose(rec[:, :3], gt[:, :3], atol=0.02)
+    np.testing.assert_allclose(rec[:, 3:6], gt[:, 3:6], rtol=0.02, atol=0.05)
+    dt = np.abs((rec[:, 6] - gt[:, 6] + np.pi / 2) % np.pi - np.pi / 2)
+    assert np.all(dt < 0.02), dt.max()
+
+
+def test_midpoint_offset_axis_aligned_box():
+    """theta=0 gt: deltas vs its own enclosing anchor are ctr/size exact."""
+    gt = jnp.asarray([[10, 10, 10, 4, 2, 6, 0.0]], jnp.float32)
+    anchor = jnp.asarray([[8, 9, 7, 12, 11, 13]], jnp.float32)
+    deltas = np.asarray(encode_midpoint_offset(gt, anchor))
+    np.testing.assert_allclose(deltas[0, :3], [0, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(deltas[0, 3:6], 0.0, atol=1e-6)
+    rec = np.asarray(decode_midpoint_offset(jnp.asarray(deltas), anchor))
+    np.testing.assert_allclose(rec[0, :6], np.asarray(gt)[0, :6], atol=1e-3)
+
+
+def test_rotated_roundtrip(rng):
+    gt = random_obbs(rng, 32)
+    rois = gt.copy()
+    rois[:, :3] += rng.uniform(-1, 1, (32, 3))
+    rois[:, 3:6] *= rng.uniform(0.8, 1.2, (32, 3))
+    rois[:, 6] += rng.uniform(-0.2, 0.2, 32)
+    deltas = encode_rotated(jnp.asarray(gt), jnp.asarray(rois))
+    rec = np.asarray(decode_rotated(deltas, jnp.asarray(rois)))
+    np.testing.assert_allclose(rec[:, :6], gt[:, :6], rtol=1e-4, atol=1e-3)
+    dt = np.abs((rec[:, 6] - gt[:, 6]) % np.pi)
+    dt = np.minimum(dt, np.pi - dt)
+    assert np.all(dt < 1e-4)
+
+
+def test_rotated_zero_deltas_identity(rng):
+    rois = random_obbs(rng, 8)
+    rec = np.asarray(decode_rotated(jnp.zeros((8, 7)), jnp.asarray(rois)))
+    np.testing.assert_allclose(rec[:, :6], rois[:, :6], rtol=1e-5)

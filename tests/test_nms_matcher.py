@@ -1,0 +1,177 @@
+"""NMS vs brute-force oracle; matcher / sampler semantics."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_rpn_tpu.ops.nms import nms_mask, topk_after_nms
+from nerf_rpn_tpu.utils.target_assign import match_anchors, sample_balanced
+from nerf_rpn_tpu.utils.losses import smooth_l1, bce_with_logits, sigmoid_focal_loss
+
+
+def brute_nms(boxes, scores, thresh):
+    """Sequential greedy NMS oracle (numpy)."""
+    def iou(a, b):
+        lo = np.maximum(a[:3], b[:3])
+        hi = np.minimum(a[3:], b[3:])
+        inter = np.prod(np.clip(hi - lo, 0, None))
+        va = np.prod(a[3:] - a[:3])
+        vb = np.prod(b[3:] - b[:3])
+        return inter / (va + vb - inter)
+
+    order = np.argsort(-scores)
+    keep = []
+    alive = np.ones(len(boxes), bool)
+    for i in order:
+        if not alive[i]:
+            continue
+        keep.append(i)
+        for j in order:
+            if alive[j] and j != i and scores[j] <= scores[i]:
+                if iou(boxes[i], boxes[j]) > thresh:
+                    alive[j] = False
+    return sorted(keep)
+
+
+def test_nms_matches_oracle(rng):
+    n = 64
+    lo = rng.uniform(0, 20, (n, 3))
+    sz = rng.uniform(2, 10, (n, 3))
+    boxes = np.concatenate([lo, lo + sz], -1).astype(np.float32)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    for thresh in (0.1, 0.3, 0.7):
+        keep = np.asarray(
+            nms_mask(jnp.asarray(boxes), jnp.asarray(scores), jnp.ones(n, bool), thresh)
+        )
+        expected = brute_nms(boxes, scores, thresh)
+        assert sorted(np.where(keep)[0].tolist()) == expected, thresh
+
+
+def test_nms_invalid_never_kept(rng):
+    boxes = jnp.asarray([[0, 0, 0, 2, 2, 2], [10, 10, 10, 12, 12, 12]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    keep = np.asarray(nms_mask(boxes, scores, jnp.asarray([True, False]), 0.5))
+    assert keep.tolist() == [True, False]
+
+
+def test_nms_category_isolation():
+    """Identical overlapping boxes in different categories both survive."""
+    boxes = jnp.asarray([[0, 0, 0, 2, 2, 2], [0, 0, 0, 2, 2, 2]], jnp.float32)
+    scores = jnp.asarray([0.9, 0.8])
+    valid = jnp.ones(2, bool)
+    keep_same = np.asarray(nms_mask(boxes, scores, valid, 0.5, jnp.asarray([0, 0])))
+    keep_diff = np.asarray(nms_mask(boxes, scores, valid, 0.5, jnp.asarray([0, 1])))
+    assert keep_same.tolist() == [True, False]
+    assert keep_diff.tolist() == [True, True]
+
+
+def test_nms_obb_path():
+    boxes = jnp.asarray(
+        [[5, 5, 5, 4, 4, 4, 0.0], [5, 5, 5, 4, 4, 4, 0.1], [20, 20, 20, 4, 4, 4, 0.0]],
+        jnp.float32,
+    )
+    scores = jnp.asarray([0.9, 0.8, 0.7])
+    keep = np.asarray(nms_mask(boxes, scores, jnp.ones(3, bool), 0.25))
+    assert keep.tolist() == [True, False, True]
+
+
+def test_topk_after_nms():
+    scores = jnp.asarray([0.1, 0.9, 0.5, 0.7])
+    keep = jnp.asarray([True, True, False, True])
+    idx, valid = topk_after_nms(scores, keep, 3)
+    assert np.asarray(idx).tolist() == [1, 3, 0]
+    assert np.asarray(valid).all()
+
+
+def test_matcher_thresholds():
+    # 2 gt x 5 anchors
+    iou = jnp.asarray(
+        [
+            [0.9, 0.25, 0.1, 0.05, 0.0],
+            [0.1, 0.10, 0.4, 0.05, 0.0],
+        ]
+    )
+    m = np.asarray(
+        match_anchors(iou, jnp.ones(2, bool), 0.35, 0.2, allow_low_quality=False)
+    )
+    assert m.tolist() == [0, -2, 1, -1, -1]
+
+
+def test_matcher_low_quality():
+    """gt1's best anchor (idx 3, iou .15 < low) gets force-matched."""
+    iou = jnp.asarray(
+        [
+            [0.9, 0.25, 0.1, 0.05, 0.0],
+            [0.1, 0.10, 0.02, 0.15, 0.0],
+        ]
+    )
+    m = np.asarray(match_anchors(iou, jnp.ones(2, bool), 0.35, 0.2, allow_low_quality=True))
+    assert m[0] == 0
+    assert m[3] == 1  # force-matched despite below-low
+    assert m[2] == -1
+
+
+def test_matcher_gt_padding():
+    """A padded gt row with huge IoU must not match anything."""
+    iou = jnp.asarray([[0.1, 0.2], [0.99, 0.99]])
+    m = np.asarray(
+        match_anchors(iou, jnp.asarray([True, False]), 0.35, 0.2, allow_low_quality=True)
+    )
+    assert np.all(m <= 0)  # only gt 0 or negatives
+
+
+def test_sampler_budgets():
+    matches = jnp.asarray([2, 1, 0, -1, -1, -1, -1, -2] * 8)  # 16 pos, 32 neg, 8 ignore... per 8
+    key = jax.random.PRNGKey(0)
+    pos, neg = sample_balanced(key, matches, batch_size=32, positive_fraction=0.5)
+    pos, neg = np.asarray(pos), np.asarray(neg)
+    m = np.asarray(matches)
+    assert pos.sum() == 16  # min(16 available, 16 budget)
+    assert neg.sum() == 16
+    assert np.all(m[pos] >= 0)
+    assert np.all(m[neg] == -1)
+    assert not np.any(pos & neg)
+
+
+def test_sampler_scarce_positives():
+    matches = jnp.asarray([1] * 3 + [-1] * 61)
+    pos, neg = sample_balanced(jax.random.PRNGKey(1), matches, 32, 0.5)
+    assert int(np.asarray(pos).sum()) == 3
+    assert int(np.asarray(neg).sum()) == 29  # tops up to the budget
+
+
+def test_losses_reference_values():
+    # smooth_l1 beta=1: |d|=0.5 -> 0.125; |d|=2 -> 1.5
+    np.testing.assert_allclose(
+        np.asarray(smooth_l1(jnp.asarray([0.5, 2.0]), jnp.zeros(2), beta=1.0)),
+        [0.125, 1.5],
+    )
+    # bce at logit 0 is log 2
+    np.testing.assert_allclose(
+        float(bce_with_logits(jnp.asarray(0.0), jnp.asarray(1.0))), np.log(2), rtol=1e-6
+    )
+    # focal loss with gamma=0, alpha=-1 reduces to bce
+    np.testing.assert_allclose(
+        np.asarray(sigmoid_focal_loss(jnp.asarray([0.3]), jnp.asarray([1.0]), alpha=-1, gamma=0.0)),
+        np.asarray(bce_with_logits(jnp.asarray([0.3]), jnp.asarray([1.0]))),
+        rtol=1e-6,
+    )
+
+
+def test_focal_loss_torchvision_value():
+    """Cross-checked against torchvision.ops.sigmoid_focal_loss."""
+    import torch
+    from torch.nn.functional import binary_cross_entropy_with_logits
+
+    logits = np.linspace(-2, 2, 9).astype(np.float32)
+    targets = np.array([0, 1, 0, 1, 0, 1, 0, 1, 0], np.float32)
+    lt = torch.tensor(logits)
+    tt = torch.tensor(targets)
+    p = torch.sigmoid(lt)
+    ce = binary_cross_entropy_with_logits(lt, tt, reduction="none")
+    p_t = p * tt + (1 - p) * (1 - tt)
+    expected = ce * ((1 - p_t) ** 2.0)
+    alpha_t = 0.25 * tt + 0.75 * (1 - tt)
+    expected = (alpha_t * expected).numpy()
+    got = np.asarray(sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
+    np.testing.assert_allclose(got, expected, rtol=1e-4)
