@@ -1,0 +1,206 @@
+"""3D ResNet-FPN backbones (flax.linen, NDHWC).
+
+Parity targets (reference ``model/feature_extractor.py``):
+- ``ResNetFPN256``  <-> ``ResNet_FPN_256`` (:148-235): 7^3 stride-2 stem
+  (+ optional stride-2 max-pool), bottleneck stages [3,4,6,3] at widths
+  64/128/256/512 (expansion 4), built-in FPN with lateral 1x1 convs,
+  nearest top-down, 3x3 smooths on all but the top level; out_channels 256.
+- ``ResNetFPN64``   <-> ``ResNet_FPN_64`` (:72-142): small-resolution
+  variant, stride-1 stem, widths 16/32/64/128, out_channels 64, trilinear
+  top-down upsample.
+- ``ResNetSimplified``  <-> debug variants (:239-274).
+
+TPU notes: channels-last so convs tile onto the MXU; BatchNorm carries
+running stats (use ``axis_name`` for cross-replica sync under shard_map);
+pass ``dtype=jnp.bfloat16`` for bf16 compute with f32 params/stats.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from nerf_rpn_tpu.models.fpn import upsample_nearest
+
+
+class Bottleneck(nn.Module):
+    """1x1 (stride s) -> 3x3 -> 1x1 bottleneck, expansion 4, BN after each."""
+
+    planes: int
+    stride: int = 1
+    expansion: int = 4
+    dtype: jnp.dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.bn_axis_name if train else None,
+            name=name,
+        )
+        s = (self.stride,) * 3
+        out_ch = self.planes * self.expansion
+
+        residual = x
+        y = nn.Conv(self.planes, (1, 1, 1), strides=s, use_bias=False,
+                    dtype=self.dtype, name="conv1")(x)
+        y = nn.relu(bn("bn1")(y))
+        y = nn.Conv(self.planes, (3, 3, 3), padding=1, use_bias=False,
+                    dtype=self.dtype, name="conv2")(y)
+        y = nn.relu(bn("bn2")(y))
+        y = nn.Conv(out_ch, (1, 1, 1), use_bias=False, dtype=self.dtype,
+                    name="conv3")(y)
+        y = bn("bn3")(y)
+
+        if self.stride != 1 or x.shape[-1] != out_ch:
+            residual = nn.Conv(out_ch, (1, 1, 1), strides=s, use_bias=False,
+                               dtype=self.dtype, name="downsample_conv")(x)
+            residual = bn("downsample_bn")(residual)
+        return nn.relu(y + residual)
+
+
+class ResNetFPN256(nn.Module):
+    """ResNet-50-style 3D backbone with built-in 4-level FPN, out_channels 256."""
+
+    layers: Sequence[int] = (3, 4, 6, 3)
+    in_dim: int = 4
+    base_width: int = 64
+    out_channels: int = 256
+    is_max_pool: bool = True
+    dtype: jnp.dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, ...]:
+        bn = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=0.9,
+            epsilon=1e-5,
+            dtype=self.dtype,
+            axis_name=self.bn_axis_name if train else None,
+            name="stem_bn",
+        )
+        y = nn.Conv(self.base_width, (7, 7, 7), strides=(2, 2, 2), padding=3,
+                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        y = nn.relu(bn(y))
+        if self.is_max_pool:
+            y = nn.max_pool(y, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)))
+
+        # bottom-up stages
+        c_out = []
+        for i, depth in enumerate(self.layers):
+            planes = self.base_width * (2 ** i)
+            for j in range(depth):
+                y = Bottleneck(
+                    planes,
+                    stride=2 if (i > 0 and j == 0) else 1,
+                    dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name,
+                    name=f"stage{i}_block{j}",
+                )(y, train=train)
+            c_out.append(y)
+
+        # top-down FPN
+        n = len(c_out)
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                    name=f"lateral_{i}")(c_out[i])
+            for i in range(n)
+        ]
+        p = [laterals[-1]]
+        for i in range(n - 2, -1, -1):
+            p.insert(0, laterals[i] + upsample_nearest(p[0], laterals[i].shape[1:4]))
+        for i in range(n - 1):
+            p[i] = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
+                           dtype=self.dtype, name=f"smooth_{i}")(p[i])
+        return tuple(p)
+
+
+class ResNetFPN64(nn.Module):
+    """Small backbone for 64^3 inputs: stride-1 stem, out_channels 64."""
+
+    layers: Sequence[int] = (2, 2, 2, 2)
+    in_dim: int = 4
+    out_channels: int = 64
+    dtype: jnp.dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, ...]:
+        bn = nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, axis_name=self.bn_axis_name if train else None,
+            name="stem_bn",
+        )
+        y = nn.Conv(16, (7, 7, 7), strides=(1, 1, 1), padding=3, use_bias=False,
+                    dtype=self.dtype, name="stem_conv")(x)
+        y = nn.relu(bn(y))
+        c_out = []
+        for i, depth in enumerate(self.layers):
+            planes = 16 * (2 ** i)
+            for j in range(depth):
+                y = Bottleneck(
+                    planes,
+                    stride=2 if (i > 0 and j == 0) else 1,
+                    dtype=self.dtype,
+                    bn_axis_name=self.bn_axis_name,
+                    name=f"stage{i}_block{j}",
+                )(y, train=train)
+            c_out.append(y)
+        n = len(c_out)
+        laterals = [
+            nn.Conv(self.out_channels, (1, 1, 1), dtype=self.dtype,
+                    name=f"lateral_{i}")(c_out[i])
+            for i in range(n)
+        ]
+        p = [laterals[-1]]
+        for i in range(n - 2, -1, -1):
+            up = jax.image.resize(
+                p[0],
+                (p[0].shape[0], *laterals[i].shape[1:4], p[0].shape[-1]),
+                method="trilinear",
+            )
+            p.insert(0, laterals[i] + up)
+        for i in range(n - 1):
+            p[i] = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
+                           dtype=self.dtype, name=f"smooth_{i}")(p[i])
+        return tuple(p)
+
+
+class ResNetSimplified(nn.Module):
+    """Debug backbone: stem + N basic residual blocks, single-level output
+    (reference ``ResNetSimplified_64/256``)."""
+
+    out_channels: int = 64
+    num_residuals: int = 3
+    stride2_stem: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, ...]:
+        bn = lambda name: nn.BatchNorm(
+            use_running_average=not train, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name,
+        )
+        s = (2, 2, 2) if self.stride2_stem else (1, 1, 1)
+        y = nn.Conv(self.out_channels, (7, 7, 7), strides=s, padding=3,
+                    dtype=self.dtype, name="stem_conv")(x)
+        y = nn.relu(bn("stem_bn")(y))
+        if self.stride2_stem:
+            y = nn.max_pool(y, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)))
+        for i in range(self.num_residuals):
+            r = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
+                        dtype=self.dtype, name=f"res{i}_conv1")(y)
+            r = nn.relu(bn(f"res{i}_bn1")(r))
+            r = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
+                        dtype=self.dtype, name=f"res{i}_conv2")(r)
+            r = bn(f"res{i}_bn2")(r)
+            y = nn.relu(r + y)
+        return (y,)

@@ -1,0 +1,350 @@
+"""Anchor-based 3D region proposal pipeline, fixed-shape and fully on-device.
+
+Parity target: reference ``RegionProposalNetwork`` (``model/rpn.py:167-549``)
+— anchor/GT matching, balanced sampling, BCE + smooth-L1 / rotated-IoU /
+2D-projection losses, and the decode -> per-level top-k -> clip -> small-box
+filter -> score threshold -> per-level NMS -> global top-k inference path
+(``filter_proposals``, ``rpn.py:303-370``).
+
+TPU re-design:
+- Scenes are a leading batch axis, not a python list; GT boxes are padded to
+  a static ``max_gt`` with a validity mask.
+- Every filtering stage is a mask update, never a gather to a dynamic size;
+  the only gathers are the two static top-ks.
+- Proposals are decoded only for the per-level top-k survivors (the
+  reference decodes every anchor first, ``rpn.py:519-520``).
+- All anchors / strides / padding-limit tables are trace-time numpy
+  constants (see ``models/anchors.py``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from nerf_rpn_tpu.models import anchors as anchor_lib
+from nerf_rpn_tpu.ops import coders
+from nerf_rpn_tpu.ops.aabb import (
+    clip_boxes_to_grid,
+    obb_center_valid_mask,
+    pairwise_iou_aabb,
+    small_box_mask,
+)
+from nerf_rpn_tpu.ops.nms import NEG_INF, nms_mask
+from nerf_rpn_tpu.ops.obb import obb2hbb_3d, obb2points_3d
+from nerf_rpn_tpu.ops.rotated_iou import (
+    diou_rotated_3d,
+    giou_rotated_3d,
+    iou_rotated_3d,
+)
+from nerf_rpn_tpu.utils.losses import bce_with_logits, smooth_l1
+from nerf_rpn_tpu.utils.projection import project_points
+from nerf_rpn_tpu.utils.target_assign import match_anchors, sample_balanced
+
+
+@dataclasses.dataclass(frozen=True)
+class RPNConfig:
+    """Static RPN configuration (defaults = reference driver defaults,
+    ``run_rpn.py:108-131``)."""
+
+    rotated: bool = False
+    fg_iou_thresh: float = 0.35
+    bg_iou_thresh: float = 0.2
+    batch_size_per_mesh: int = 256
+    positive_fraction: float = 0.5
+    pre_nms_top_n: int = 2500
+    post_nms_top_n: int = 2500
+    nms_thresh: float = 0.3
+    score_thresh: float = 0.0
+    min_size: float = 1e-3
+    reg_loss_type: str = "smooth_l1"  # smooth_l1 | iou | linear_iou | giou | diou
+    reg_loss_weight: float = 1.0
+    reg_loss_weight_2d: float = 0.0
+    anchor_sizes: tuple = anchor_lib.DEFAULT_ANCHOR_SIZES
+    aspect_ratios: tuple = anchor_lib.DEFAULT_ASPECT_RATIOS
+    normalize_ratios: bool = False
+
+    @property
+    def box_dim(self) -> int:
+        return 7 if self.rotated else 6
+
+    @property
+    def delta_dim(self) -> int:
+        return 8 if self.rotated else 6
+
+    def decode(self, deltas: jax.Array, anchors: jax.Array) -> jax.Array:
+        if self.rotated:
+            return coders.decode_midpoint_offset(deltas, anchors)
+        return coders.decode_aabb(deltas, anchors)
+
+    def encode(self, gt: jax.Array, anchors: jax.Array) -> jax.Array:
+        if self.rotated:
+            return coders.encode_midpoint_offset(gt, anchors)
+        return coders.encode_aabb(gt, anchors)
+
+
+# ---------------------------------------------------------------------------
+# Static per-level tables
+# ---------------------------------------------------------------------------
+
+
+def build_level_tables(
+    cfg: RPNConfig,
+    mesh_size: Sequence[int],
+    level_shapes: Sequence[Sequence[int]],
+):
+    """Anchors + strides for the padded mesh shape, as numpy constants.
+
+    Returns (anchors (N_total, 6), level_ids (N_total,), strides, counts).
+    """
+    strides = anchor_lib.level_strides(mesh_size, level_shapes)
+    per_level = [
+        anchor_lib.grid_anchors(
+            tuple(shape), stride, cfg.anchor_sizes[i], cfg.aspect_ratios[i],
+            cfg.normalize_ratios,
+        )
+        for i, (shape, stride) in enumerate(zip(level_shapes, strides))
+    ]
+    counts = [a.shape[0] for a in per_level]
+    anchors = np.concatenate(per_level, axis=0)
+    level_ids = np.repeat(np.arange(len(per_level), dtype=np.int32), counts)
+    return anchors, level_ids, strides, counts
+
+
+def flatten_head_outputs(
+    logits: Sequence[jax.Array], deltas: Sequence[jax.Array], delta_dim: int
+):
+    """Per-level (B, X, Y, Z, A[*D]) -> concatenated (B, N) / (B, N, D).
+
+    Flattening order (x, y, z, anchor) matches ``grid_anchors``
+    (and the reference's permute_and_flatten, ``rpn.py:20-27``).
+    """
+    b = logits[0].shape[0]
+    flat_logits = [l.reshape(b, -1) for l in logits]
+    flat_deltas = [d.reshape(b, -1, delta_dim) for d in deltas]
+    return jnp.concatenate(flat_logits, 1), jnp.concatenate(flat_deltas, 1)
+
+
+def dynamic_padding_masks(
+    level_shapes: Sequence[Sequence[int]],
+    strides: Sequence[Sequence[int]],
+    anchors_per_loc: int,
+    ori_sizes: jax.Array,
+) -> jax.Array:
+    """(B, N_total) validity masks from per-scene original sizes.
+
+    Anchor cells at index >= ceil(ori/stride) sit in zero-padding and are
+    masked (reference ``anchor.py:124-152``).  ``ori_sizes``: (B, 3) int.
+    """
+    masks = []
+    for shape, stride in zip(level_shapes, strides):
+        limits = jnp.ceil(
+            ori_sizes / jnp.asarray(stride, ori_sizes.dtype)
+        ).astype(jnp.int32)  # (B, 3)
+        axes = [np.arange(s) for s in shape]
+        cell_ok = (
+            (axes[0][None, :, None, None] < limits[:, 0, None, None, None])
+            & (axes[1][None, None, :, None] < limits[:, 1, None, None, None])
+            & (axes[2][None, None, None, :] < limits[:, 2, None, None, None])
+        )  # (B, X, Y, Z)
+        masks.append(
+            jnp.repeat(cell_ok.reshape(ori_sizes.shape[0], -1), anchors_per_loc, axis=-1)
+        )
+    return jnp.concatenate(masks, axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Training losses
+# ---------------------------------------------------------------------------
+
+
+def _rotated_iou_loss(pred: jax.Array, target: jax.Array, loss_type: str) -> jax.Array:
+    """Reference ``RotatedIOULoss`` (``rpn.py:133-164``): iou/linear use the
+    (+1)-smoothed volume ratio; giou/diou use the enclosing-box losses."""
+    if loss_type in ("iou", "linear_iou"):
+        ious, _, _, _, unions = iou_rotated_3d(pred, target, verbose=True)
+        inter = ious * unions
+        smooth_iou = (inter + 1.0) / (unions + 1.0)
+        return -jnp.log(smooth_iou) if loss_type == "iou" else 1.0 - smooth_iou
+    if loss_type == "giou":
+        loss, _, _ = giou_rotated_3d(pred, target)
+        return loss
+    if loss_type == "diou":
+        loss, _ = diou_rotated_3d(pred, target)
+        return loss
+    raise NotImplementedError(loss_type)
+
+
+def rpn_losses(
+    cfg: RPNConfig,
+    key: jax.Array,
+    objectness: jax.Array,      # (B, N)
+    pred_deltas: jax.Array,     # (B, N, D)
+    anchors: jax.Array,         # (N, 6)
+    gt_boxes: jax.Array,        # (B, G, 6|7), zero-padded
+    gt_mask: jax.Array,         # (B, G) bool
+    padding_mask: jax.Array | None = None,  # (B, N) bool
+    max_mesh_dim: int = 160,
+) -> dict[str, jax.Array]:
+    """Batched RPN training losses (objectness BCE, 3D box reg, 2D proj)."""
+    b, n = objectness.shape
+
+    def assign_one(gt, mask, pad):
+        gt_for_iou = obb2hbb_3d(gt) if cfg.rotated else gt
+        iou = pairwise_iou_aabb(gt_for_iou, anchors)  # (G, N)
+        if pad is not None:
+            iou = jnp.where(pad[None, :], iou, -1.0)
+        matches = match_anchors(
+            iou, mask, cfg.fg_iou_thresh, cfg.bg_iou_thresh, allow_low_quality=True
+        )
+        if pad is not None:
+            matches = jnp.where(pad, matches, -2)  # padded anchors -> ignore
+        matched_gt = gt[jnp.clip(matches, 0)]
+        return matches, matched_gt
+
+    pads = padding_mask if padding_mask is not None else jnp.ones((b, n), bool)
+    matches, matched_gt = jax.vmap(assign_one)(gt_boxes, gt_mask, pads)
+
+    keys = jax.random.split(key, b)
+    pos_mask, neg_mask = jax.vmap(
+        lambda k, m: sample_balanced(
+            k, m, cfg.batch_size_per_mesh, cfg.positive_fraction
+        )
+    )(keys, matches)
+
+    sampled = pos_mask | neg_mask
+    num_sampled = jnp.maximum(jnp.sum(sampled), 1.0)
+    num_pos = jnp.maximum(jnp.sum(pos_mask), 1.0)
+    labels = (matches >= 0).astype(objectness.dtype)
+
+    # objectness BCE, mean over sampled anchors
+    obj_loss = jnp.sum(
+        bce_with_logits(objectness, labels) * sampled
+    ) / num_sampled
+
+    targets = cfg.encode(matched_gt, anchors[None].repeat(b, 0))
+
+    if cfg.reg_loss_type == "smooth_l1":
+        reg = smooth_l1(pred_deltas, targets, beta=1.0 / 9)
+        reg_loss = jnp.sum(reg * pos_mask[..., None]) / num_sampled
+        proposals = None
+    else:
+        proposals = cfg.decode(pred_deltas, anchors[None].repeat(b, 0))
+        per_box = _rotated_iou_loss(proposals, matched_gt, cfg.reg_loss_type)
+        reg_loss = jnp.sum(per_box * pos_mask) / num_sampled
+
+    losses = {"loss_objectness": obj_loss, "loss_rpn_box_reg": reg_loss}
+
+    if cfg.reg_loss_weight_2d > 0:
+        if proposals is None:
+            proposals = cfg.decode(pred_deltas, anchors[None].repeat(b, 0))
+        if cfg.rotated:
+            pred_pts = obb2points_3d(proposals)       # (B, N, 2, 3)
+            tgt_pts = obb2points_3d(matched_gt)
+        else:
+            pred_pts = proposals.reshape(b, n, 2, 3)  # (min corner, max corner)
+            tgt_pts = matched_gt.reshape(b, n, 2, 3)
+        pred_uv = project_points(pred_pts, max_mesh_dim)  # (B, N, 2, 4, 2)
+        tgt_uv = project_points(tgt_pts, max_mesh_dim)
+        l2d = smooth_l1(pred_uv, tgt_uv, beta=1.0 / 9)
+        losses["loss_rpn_box_reg_2d"] = (
+            jnp.sum(l2d * pos_mask[..., None, None, None]) / num_pos / max_mesh_dim
+        )
+    else:
+        losses["loss_rpn_box_reg_2d"] = jnp.zeros(())
+
+    return losses
+
+
+# ---------------------------------------------------------------------------
+# Inference: decode + filter
+# ---------------------------------------------------------------------------
+
+
+def generate_proposals(
+    cfg: RPNConfig,
+    objectness: jax.Array,          # (B, N)
+    pred_deltas: jax.Array,         # (B, N, D)
+    anchors: jax.Array,             # (N, 6)
+    level_counts: Sequence[int],
+    mesh_size: Sequence[int],
+    padding_mask: jax.Array | None = None,
+    training: bool = False,
+):
+    """Fixed-capacity proposal generation.
+
+    Returns dict with boxes (B, K, 6|7), scores (B, K), level_idx (B, K),
+    valid (B, K) — K = post_nms_top_n, score-sorted, masked entries at the
+    end with score 0.
+    """
+    del training  # pre/post top-n are per-config here; pass a second cfg for train
+    b, n = objectness.shape
+    scores = jax.lax.stop_gradient(objectness)
+    if padding_mask is not None:
+        scores = jnp.where(padding_mask, scores, NEG_INF)
+
+    # per-level top-k, then decode only the survivors
+    boxes_l, scores_l, levels_l = [], [], []
+    offset = 0
+    for lvl, count in enumerate(level_counts):
+        k = min(cfg.pre_nms_top_n, count)
+        s = jax.lax.slice_in_dim(scores, offset, offset + count, axis=1)
+        top_s, top_i = jax.lax.top_k(s, k)  # (B, k)
+        lvl_anchors = jax.lax.slice_in_dim(anchors, offset, offset + count, axis=0)
+        lvl_deltas = jax.lax.slice_in_dim(pred_deltas, offset, offset + count, axis=1)
+        sel_anchors = lvl_anchors[top_i]                      # (B, k, 6)
+        sel_deltas = jnp.take_along_axis(lvl_deltas, top_i[..., None], axis=1)
+        boxes_l.append(cfg.decode(sel_deltas, sel_anchors))
+        scores_l.append(top_s)
+        levels_l.append(jnp.full((b, k), lvl, jnp.int32))
+        offset += count
+
+    boxes = jnp.concatenate(boxes_l, axis=1)      # (B, K_all, 6|7)
+    raw_scores = jnp.concatenate(scores_l, axis=1)
+    levels = jnp.concatenate(levels_l, axis=1)
+    probs = jax.nn.sigmoid(raw_scores)
+
+    grid = jnp.asarray(mesh_size, boxes.dtype)
+    if cfg.rotated:
+        valid = obb_center_valid_mask(boxes, grid)
+    else:
+        boxes = clip_boxes_to_grid(boxes, grid)
+        valid = jnp.ones(boxes.shape[:2], bool)
+    valid &= small_box_mask(boxes, cfg.min_size)
+    valid &= probs >= cfg.score_thresh
+    valid &= raw_scores > NEG_INF / 2  # padded-anchor sentinels
+
+    def nms_one(bx, sc, vd, lv):
+        keep = nms_mask(bx, sc, vd, cfg.nms_thresh, category=lv)
+        masked = jnp.where(keep, sc, NEG_INF)
+        k = min(cfg.post_nms_top_n, masked.shape[0])
+        top_s, top_i = jax.lax.top_k(masked, k)
+        return bx[top_i], jnp.clip(top_s, 0.0), lv[top_i], top_s > NEG_INF / 2
+
+    out_boxes, out_scores, out_levels, out_valid = jax.vmap(nms_one)(
+        boxes, probs, valid, levels
+    )
+    return {
+        "boxes": out_boxes,
+        "scores": out_scores,
+        "level_idx": out_levels,
+        "valid": out_valid,
+    }
+
+
+def voxel_objectness_scores(
+    logits: Sequence[jax.Array],
+) -> list[jax.Array]:
+    """Per-level max-over-anchors objectness (B, X, Y, Z) — the voxel-score
+    dump of reference ``output_objectness`` (``rpn.py:538-549``); cropping to
+    original sizes and npz writing happen host-side."""
+    out = []
+    for l in logits:
+        b = l.shape[0]
+        out.append(l.reshape(*l.shape[:4], -1).max(axis=-1))
+    return out

@@ -1,0 +1,282 @@
+"""3D Swin Transformer FPN backbone (flax.linen, NDHWC).
+
+Parity target: reference ``SwinTransformer_FPN``
+(``model/feature_extractor.py:380-800``): Conv3d patch embed (4^3), four
+stages of shifted-window attention blocks with 3D relative position bias,
+8-neighbour PatchMerging between stages, stochastic depth, and an FPN neck
+over the stage outputs.  Variants (driver table, ``run_rpn.py:282-292``):
+
+    swin_t: embed 96,  depths (2,2,6,2),  heads (3,6,12,24)
+    swin_s: embed 96,  depths (2,2,18,2), heads (3,6,12,24)
+    swin_b: embed 128, depths (2,2,18,2), heads (3,6,12,24)
+    swin_l: embed 192, depths (2,2,18,2), heads (6,12,24,48)
+
+TPU re-design notes:
+- Window partition is pure reshape/transpose; the attention over 4^3 = 64
+  token windows is a batched einsum the MXU eats directly (all windows of
+  all batches form one big batch dim).
+- Everything shape-dependent (relative-position index, shifted-window
+  attention mask) is precomputed in numpy at trace time — shapes are static
+  under jit, so no device-side mask construction at step time.
+- The cyclic shift is ``jnp.roll`` (an XLA-native rotate, no host sync).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Sequence
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from nerf_rpn_tpu.models.fpn import FPN
+
+SWIN_VARIANTS = {
+    "swin_t": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
+    "swin_s": dict(embed_dim=96, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "swin_b": dict(embed_dim=128, depths=(2, 2, 18, 2), num_heads=(3, 6, 12, 24)),
+    "swin_l": dict(embed_dim=192, depths=(2, 2, 18, 2), num_heads=(6, 12, 24, 48)),
+}
+
+
+@lru_cache(maxsize=None)
+def _relative_position_index(window: tuple[int, int, int]) -> np.ndarray:
+    """Flat (N*N,) index into the (2w-1)^3 bias table for each token pair.
+    Same indexing scheme as the reference (including its row-major packing)."""
+    wx, wy, wz = window
+    coords = np.stack(
+        np.meshgrid(np.arange(wx), np.arange(wy), np.arange(wz), indexing="ij")
+    ).reshape(3, -1)
+    rel = coords[:, :, None] - coords[:, None, :]  # (3, N, N)
+    rel = rel.transpose(1, 2, 0).astype(np.int64)
+    rel[:, :, 0] += wx - 1
+    rel[:, :, 1] += wy - 1
+    rel[:, :, 2] += wz - 1
+    rel[:, :, 0] *= (2 * wz - 1) * (2 * wy - 1)
+    rel[:, :, 1] *= 2 * wz - 1
+    return rel.sum(-1).reshape(-1)
+
+
+@lru_cache(maxsize=None)
+def _shift_attn_mask(
+    pad_size: tuple[int, int, int],
+    window: tuple[int, int, int],
+    shift: tuple[int, int, int],
+) -> np.ndarray | None:
+    """(num_windows, N, N) additive mask (-100 where tokens belong to
+    different pre-shift regions), or None when no shift is active."""
+    if sum(shift) == 0:
+        return None
+    px, py, pz = pad_size
+    region = np.zeros(pad_size, np.float32)
+    count = 0
+    for xs in ((0, px - window[0]), (px - window[0], px - shift[0]), (px - shift[0], px)):
+        for ys in ((0, py - window[1]), (py - window[1], py - shift[1]), (py - shift[1], py)):
+            for zs in ((0, pz - window[2]), (pz - window[2], pz - shift[2]), (pz - shift[2], pz)):
+                region[xs[0]:xs[1], ys[0]:ys[1], zs[0]:zs[1]] = count
+                count += 1
+    nx, ny, nz = px // window[0], py // window[1], pz // window[2]
+    region = region.reshape(nx, window[0], ny, window[1], nz, window[2])
+    region = region.transpose(0, 2, 4, 1, 3, 5).reshape(nx * ny * nz, -1)
+    diff = region[:, None, :] - region[:, :, None]
+    return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
+
+
+def _window_partition(x: jax.Array, window: Sequence[int]) -> jax.Array:
+    """(B, X, Y, Z, C) -> (B * nW, N, C) with N = prod(window)."""
+    b, px, py, pz, c = x.shape
+    wx, wy, wz = window
+    x = x.reshape(b, px // wx, wx, py // wy, wy, pz // wz, wz, c)
+    x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
+    return x.reshape(-1, wx * wy * wz, c)
+
+
+def _window_reverse(x: jax.Array, window: Sequence[int], b: int,
+                    pad_size: Sequence[int]) -> jax.Array:
+    px, py, pz = pad_size
+    wx, wy, wz = window
+    x = x.reshape(b, px // wx, py // wy, pz // wz, wx, wy, wz, -1)
+    x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return x.reshape(b, px, py, pz, -1)
+
+
+class ShiftedWindowAttention3D(nn.Module):
+    """3D W-MSA with relative position bias and optional cyclic shift."""
+
+    dim: int
+    window: tuple[int, int, int]
+    shift: tuple[int, int, int]
+    num_heads: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, sx, sy, sz, c = x.shape
+        wx, wy, wz = self.window
+        pad = tuple((w - s % w) % w for s, w in zip((sx, sy, sz), self.window))
+        if any(pad):
+            x = jnp.pad(x, ((0, 0), (0, pad[0]), (0, pad[1]), (0, pad[2]), (0, 0)))
+        pad_size = tuple(x.shape[1:4])
+        shift = tuple(
+            0 if w >= p else s
+            for s, w, p in zip(self.shift, self.window, pad_size)
+        )
+        if sum(shift):
+            x = jnp.roll(x, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
+
+        n = wx * wy * wz
+        windows = _window_partition(x, self.window)  # (B*nW, N, C)
+        qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(windows)
+        qkv = qkv.reshape(windows.shape[0], n, 3, self.num_heads, c // self.num_heads)
+        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+        q = q * (c // self.num_heads) ** -0.5
+        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                          preferred_element_type=jnp.float32)
+
+        table = self.param(
+            "relative_position_bias_table",
+            nn.initializers.truncated_normal(0.02),
+            ((2 * wx - 1) * (2 * wy - 1) * (2 * wz - 1), self.num_heads),
+        )
+        idx = _relative_position_index(self.window)
+        bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        attn = attn + bias[None].astype(attn.dtype)
+
+        mask = _shift_attn_mask(pad_size, self.window, shift)
+        if mask is not None:
+            num_windows = mask.shape[0]
+            attn = attn.reshape(b, num_windows, self.num_heads, n, n)
+            attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
+            attn = attn.reshape(b * num_windows, self.num_heads, n, n)
+
+        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+        y = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                       preferred_element_type=jnp.float32).astype(self.dtype)
+        y = y.transpose(0, 2, 1, 3).reshape(windows.shape[0], n, c)
+        y = nn.Dense(self.dim, dtype=self.dtype, name="proj")(y)
+
+        y = _window_reverse(y, self.window, b, pad_size)
+        if sum(shift):
+            y = jnp.roll(y, shift, axis=(1, 2, 3))
+        return y[:, :sx, :sy, :sz]
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    num_heads: int
+    window: tuple[int, int, int]
+    shift: tuple[int, int, int]
+    mlp_ratio: float = 4.0
+    drop_path: float = 0.0
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
+        def stochastic_depth(y):
+            if not train or self.drop_path == 0.0:
+                return y
+            keep = 1.0 - self.drop_path
+            rng = self.make_rng("dropout")
+            mask = jax.random.bernoulli(rng, keep, (y.shape[0],) + (1,) * (y.ndim - 1))
+            return y * mask.astype(y.dtype) / keep
+
+        ln = lambda name: nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name=name)
+        x = x + stochastic_depth(
+            ShiftedWindowAttention3D(
+                self.dim, self.window, self.shift, self.num_heads,
+                dtype=self.dtype, name="attn",
+            )(ln("norm1")(x))
+        )
+        h = ln("norm2")(x)
+        h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
+        h = nn.gelu(h)
+        h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
+        return x + stochastic_depth(h)
+
+
+class PatchMerging3D(nn.Module):
+    """8-neighbour concat -> LayerNorm -> Linear(8C -> 2C)."""
+
+    dim: int
+    expand: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, sx, sy, sz, c = x.shape
+        pads = [(0, s % 2) for s in (sx, sy, sz)]
+        if any(p[1] for p in pads):
+            x = jnp.pad(x, [(0, 0)] + pads + [(0, 0)])
+        # gather the 8 sub-lattices; order matches the reference's concat
+        parts = [
+            x[:, i::2, j::2, k::2, :]
+            for k in (0, 1)
+            for j in (0, 1)
+            for i in (0, 1)
+        ]
+        y = jnp.concatenate(parts, axis=-1)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(y)
+        out = self.dim * 2 if self.expand else self.dim
+        return nn.Dense(out, use_bias=False, dtype=self.dtype, name="reduction")(y)
+
+
+class SwinFPN(nn.Module):
+    """3D Swin backbone + FPN neck; returns a 4-level, 256-channel pyramid."""
+
+    embed_dim: int = 96
+    depths: Sequence[int] = (2, 2, 18, 2)
+    num_heads: Sequence[int] = (3, 6, 12, 24)
+    patch_size: tuple[int, int, int] = (4, 4, 4)
+    window: tuple[int, int, int] = (4, 4, 4)
+    mlp_ratio: float = 4.0
+    stochastic_depth_prob: float = 0.1
+    expand_dim: bool = True
+    out_channels: int = 256
+    in_dim: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, ...]:
+        y = nn.Conv(self.embed_dim, self.patch_size, strides=self.patch_size,
+                    dtype=self.dtype, name="patch_embed")(x)
+        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(y)
+
+        total_blocks = sum(self.depths)
+        block_id = 0
+        features = []
+        for i_stage, depth in enumerate(self.depths):
+            dim = self.embed_dim * (2 ** i_stage) if self.expand_dim else self.embed_dim
+            if i_stage > 0:
+                prev = self.embed_dim * (2 ** (i_stage - 1)) if self.expand_dim else self.embed_dim
+                y = PatchMerging3D(prev, expand=self.expand_dim, dtype=self.dtype,
+                                   name=f"merge_{i_stage}")(y)
+            for i_block in range(depth):
+                sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
+                shift = tuple(
+                    0 if i_block % 2 == 0 else w // 2 for w in self.window
+                )
+                y = SwinBlock(
+                    dim, self.num_heads[i_stage], self.window, shift,
+                    mlp_ratio=self.mlp_ratio, drop_path=sd, dtype=self.dtype,
+                    name=f"stage{i_stage}_block{i_block}",
+                )(y, train=train)
+                block_id += 1
+            features.append(y)
+
+        return FPN(
+            in_channels=tuple(
+                self.embed_dim * (2 ** i) if self.expand_dim else self.embed_dim
+                for i in range(len(self.depths))
+            ),
+            out_channels=self.out_channels,
+            num_outs=len(self.depths),
+            dtype=self.dtype,
+            name="fpn_neck",
+        )(features)
+
+
+def make_swin_fpn(variant: str, **kw) -> SwinFPN:
+    return SwinFPN(**SWIN_VARIANTS[variant], **kw)

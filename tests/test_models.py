@@ -1,0 +1,200 @@
+"""Backbone / FPN / head shape and sanity tests (tiny grids for speed)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from nerf_rpn_tpu.models.fpn import FPN, upsample_nearest
+from nerf_rpn_tpu.models.resnet import ResNetFPN256, ResNetSimplified
+from nerf_rpn_tpu.models.vgg import VGGFPN
+from nerf_rpn_tpu.models.swin import SwinFPN, _relative_position_index, _shift_attn_mask
+from nerf_rpn_tpu.models.heads import RPNHead3D, FCOSHead3D
+from nerf_rpn_tpu.models.anchors import (
+    base_anchors,
+    anchors_per_level,
+    grid_anchors,
+    level_strides,
+    padding_valid_mask,
+    DEFAULT_ANCHOR_SIZES,
+    DEFAULT_ASPECT_RATIOS,
+)
+
+
+def test_upsample_nearest_2x_exact():
+    x = jnp.arange(2 * 2 * 2 * 2 * 3, dtype=jnp.float32).reshape(2, 2, 2, 2, 3)
+    y = upsample_nearest(x, (4, 4, 4))
+    assert y.shape == (2, 4, 4, 4, 3)
+    np.testing.assert_allclose(np.asarray(y[:, ::2, ::2, ::2]), np.asarray(x))
+    np.testing.assert_allclose(np.asarray(y[:, 1::2, 1::2, 1::2]), np.asarray(x))
+
+
+def test_fpn_shapes():
+    feats = [
+        jnp.zeros((1, 16, 16, 16, 8)),
+        jnp.zeros((1, 8, 8, 8, 16)),
+        jnp.zeros((1, 4, 4, 4, 32)),
+        jnp.zeros((1, 2, 2, 2, 64)),
+    ]
+    fpn = FPN(in_channels=(8, 16, 32, 64), out_channels=24, num_outs=4)
+    params = fpn.init(jax.random.PRNGKey(0), feats)
+    outs = fpn.apply(params, feats)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 16, 24),
+        (1, 8, 8, 8, 24),
+        (1, 4, 4, 4, 24),
+        (1, 2, 2, 2, 24),
+    ]
+
+
+def test_resnet_fpn_pyramid_strides():
+    x = jnp.zeros((1, 32, 32, 32, 4))
+    model = ResNetFPN256(layers=(1, 1, 1, 1), is_max_pool=True)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    # stem /2, maxpool /2 -> stage0 at /4, then /8, /16, /32
+    assert [o.shape for o in outs] == [
+        (1, 8, 8, 8, 256),
+        (1, 4, 4, 4, 256),
+        (1, 2, 2, 2, 256),
+        (1, 1, 1, 1, 256),
+    ]
+
+
+def test_resnet_train_updates_batch_stats():
+    x = jnp.ones((1, 16, 16, 16, 4))
+    model = ResNetFPN256(layers=(1, 1, 1, 1), is_max_pool=False)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs, mutated = model.apply(
+        variables, x, train=True, mutable=["batch_stats"]
+    )
+    assert "batch_stats" in mutated
+    assert len(outs) == 4
+
+
+def test_resnet_simplified():
+    x = jnp.zeros((1, 8, 8, 8, 4))
+    model = ResNetSimplified(out_channels=16, num_residuals=1)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    (out,) = model.apply(variables, x)
+    assert out.shape == (1, 8, 8, 8, 16)
+
+
+def test_vgg_fpn_small_input():
+    """input_size < 160 -> stride-1 stem, pyramid /1, /2, /4, /8."""
+    x = jnp.zeros((1, 16, 16, 16, 4))
+    model = VGGFPN(cfg="AF", input_size=16)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert [o.shape for o in outs] == [
+        (1, 16, 16, 16, 256),
+        (1, 8, 8, 8, 256),
+        (1, 4, 4, 4, 256),
+        (1, 2, 2, 2, 256),
+    ]
+
+
+def test_vgg_fpn_large_input_strides():
+    """input_size >= 160 -> stride-4 stem; use a 32^3 probe with input_size
+    declared 160 to keep the test fast."""
+    x = jnp.zeros((1, 32, 32, 32, 4))
+    model = VGGFPN(cfg="AF", input_size=160, conv_at_start=True)
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert [o.shape for o in outs] == [
+        (1, 8, 8, 8, 256),
+        (1, 4, 4, 4, 256),
+        (1, 2, 2, 2, 256),
+        (1, 1, 1, 1, 256),
+    ]
+
+
+def test_swin_fpn_shapes():
+    x = jnp.zeros((1, 32, 32, 32, 4))
+    model = SwinFPN(embed_dim=8, depths=(1, 1, 1, 1), num_heads=(1, 2, 4, 8))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    outs = model.apply(variables, x)
+    assert [o.shape for o in outs] == [
+        (1, 8, 8, 8, 256),
+        (1, 4, 4, 4, 256),
+        (1, 2, 2, 2, 256),
+        (1, 1, 1, 1, 256),
+    ]
+
+
+def test_swin_shifted_blocks_differ():
+    """Shifted (odd) blocks must change the result vs unshifted-only."""
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 8, 4))
+    m2 = SwinFPN(embed_dim=8, depths=(2,), num_heads=(2,), patch_size=(2, 2, 2),
+                 window=(2, 2, 2))
+    v2 = m2.init(jax.random.PRNGKey(0), x)
+    outs = m2.apply(v2, x)
+    assert outs[0].shape == (1, 4, 4, 4, 256)
+    assert np.isfinite(np.asarray(outs[0])).all()
+
+
+def test_relative_position_index_table():
+    idx = _relative_position_index((2, 2, 2))
+    assert idx.shape == (64,)
+    assert idx.min() >= 0 and idx.max() < 27
+    # self-pairs all map to the central entry
+    self_idx = idx.reshape(8, 8).diagonal()
+    assert len(set(self_idx.tolist())) == 1
+
+
+def test_shift_attn_mask():
+    mask = _shift_attn_mask((4, 4, 4), (2, 2, 2), (1, 1, 1))
+    assert mask.shape == (8, 8, 8)
+    assert set(np.unique(mask)) <= {0.0, -100.0}
+    assert _shift_attn_mask((4, 4, 4), (2, 2, 2), (0, 0, 0)) is None
+
+
+def test_rpn_head():
+    feats = [jnp.zeros((2, 8, 8, 8, 32)), jnp.zeros((2, 4, 4, 4, 32))]
+    head = RPNHead3D(in_channels=32, num_anchors=13, conv_depth=2, rotate=True)
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    logits, deltas = head.apply(variables, feats)
+    assert logits[0].shape == (2, 8, 8, 8, 13)
+    assert deltas[0].shape == (2, 8, 8, 8, 13 * 8)
+    assert logits[1].shape == (2, 4, 4, 4, 13)
+
+
+def test_fcos_head():
+    feats = [jnp.zeros((1, 8, 8, 8, 32)), jnp.zeros((1, 4, 4, 4, 32))]
+    head = FCOSHead3D(in_channels=32, rotate=False, fpn_strides=(4, 8))
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    cls, reg, ctr = head.apply(variables, feats)
+    assert cls[0].shape == (1, 8, 8, 8, 1)
+    assert reg[0].shape == (1, 8, 8, 8, 6)
+    assert ctr[0].shape == (1, 8, 8, 8, 1)
+    # eval mode: reg distances are relu'd and stride-scaled -> non-negative
+    assert np.asarray(reg[0]).min() >= 0
+    # focal bias init: cls sigmoid ~ prior_prob
+    p = jax.nn.sigmoid(np.asarray(cls[0])).mean()
+    assert abs(p - 0.01) < 0.005
+
+
+def test_anchor_counts_default_config():
+    """Default config must produce 13 anchors per location (SURVEY 2.4)."""
+    assert anchors_per_level(DEFAULT_ANCHOR_SIZES[0], DEFAULT_ASPECT_RATIOS[0]) == 13
+    base = base_anchors(DEFAULT_ANCHOR_SIZES[0], DEFAULT_ASPECT_RATIOS[0])
+    assert base.shape == (13, 6)
+    # all zero-centred
+    np.testing.assert_allclose(base[:, :3], -base[:, 3:])
+
+
+def test_grid_anchors():
+    a = grid_anchors((2, 2, 2), (4, 4, 4), (8.0,), (((1.0, 1.0, 1.0),),))
+    assert a.shape == (8, 6)
+    # first anchor centred at 0, size 8
+    np.testing.assert_allclose(a[0], [-4, -4, -4, 4, 4, 4])
+    # last anchor centred at (4, 4, 4)
+    np.testing.assert_allclose(a[-1], [0, 0, 0, 8, 8, 8])
+
+
+def test_level_strides_and_padding_mask():
+    strides = level_strides((64, 64, 64), [(16, 16, 16), (8, 8, 8)])
+    assert strides == [(4, 4, 4), (8, 8, 8)]
+    mask = padding_valid_mask((4, 4, 4), (4, 4, 4), (9, 16, 16), num_anchors=2)
+    m = mask.reshape(4, 4, 4, 2)
+    assert m[:3].all() and not m[3:].any()  # ceil(9/4)=3 valid cells in x
