@@ -1,0 +1,281 @@
+"""rgbsigma voxel-grid datasets + TPU-shaped batching.
+
+Parity targets (reference ``nerf_rpn/datasets.py``):
+- ``load_scene``: ``{scene}.npz['rgbsigma']`` of shape (W, L, H, C), uint8
+  scaled to [0, 1] (:55-61), optional density->alpha with the instant-ngp
+  formula ``clip(1 - exp(-exp(sigma) / 100), 0, 1)`` (:165-167) or the
+  ScanNet ReLU variant ``clip(1 - exp(-relu(sigma) / 100), 0, 1)``
+  (:227-231).
+- Scene filtering: drop scenes with missing feature files or zero boxes
+  (:74-89).
+- Dataset classes Front3D / Hypersim / ScanNet / General-CSV (``'None'``
+  boxes sentinel) (:182-267) and ``split_dataset`` (:270-288).
+
+TPU re-design: grids stay channels-LAST (W, L, H, C) — the model layout —
+and batching pads every scene of a batch to a shared bucket shape (multiples
+of ``pad_multiple``) with zero fill, emitting original sizes and padded gt
+boxes + masks so the whole downstream pipeline is static-shape.
+"""
+
+from __future__ import annotations
+
+import csv
+import dataclasses
+import os
+from typing import Optional, Sequence
+
+import numpy as np
+
+from nerf_rpn_tpu.data.augment import augment_rpn_inputs
+
+
+def density_to_alpha_ngp(density: np.ndarray) -> np.ndarray:
+    """instant-ngp: sigma stored pre-activation (exp)."""
+    return np.clip(1.0 - np.exp(-np.exp(density) / 100.0), 0.0, 1.0)
+
+
+def density_to_alpha_relu(density: np.ndarray) -> np.ndarray:
+    """dense-depth-priors NeRF (ScanNet): ReLU activation."""
+    return np.clip(1.0 - np.exp(-np.clip(density, 0, None) / 100.0), 0.0, 1.0)
+
+
+def load_scene(
+    features_file: str,
+    boxes_file: str | None,
+    normalize_density: bool = True,
+    alpha_fn=density_to_alpha_ngp,
+):
+    """Returns (rgbsigma (W, L, H, C) float32, boxes (N, 6|7) float32 | None)."""
+    with np.load(features_file) as feats:
+        rgbsigma = feats["rgbsigma"]
+        if rgbsigma.dtype == np.uint8:
+            rgbsigma = rgbsigma.astype(np.float32) / 255.0
+        else:
+            rgbsigma = rgbsigma.astype(np.float32)
+        if normalize_density:
+            rgbsigma[..., -1] = alpha_fn(rgbsigma[..., -1])
+    boxes = None
+    if boxes_file is not None:
+        boxes = np.load(boxes_file).astype(np.float32)
+    return rgbsigma, boxes
+
+
+@dataclasses.dataclass
+class SceneRecord:
+    name: str
+    features_file: str
+    boxes_file: str | None
+
+
+class BaseRPNDataset:
+    """Indexable scene dataset with optional preload + augmentation."""
+
+    alpha_fn = staticmethod(density_to_alpha_ngp)
+
+    def __init__(
+        self,
+        features_path: str,
+        boxes_path: str | None,
+        scene_list: Optional[Sequence[str]] = None,
+        normalize_density: bool = True,
+        flip_prob: float = 0.0,
+        rotate_prob: float = 0.0,
+        rot_scale_prob: float = 0.0,
+        preload: bool = False,
+        seed: int = 0,
+    ):
+        self.normalize_density = normalize_density
+        self.flip_prob = flip_prob
+        self.rotate_prob = rotate_prob
+        self.rot_scale_prob = rot_scale_prob
+        self.rng = np.random.default_rng(seed)
+
+        if scene_list is None:
+            scene_list = sorted(
+                f[: -len(".npz")]
+                for f in os.listdir(features_path)
+                if f.endswith(".npz")
+            )
+        self.records: list[SceneRecord] = []
+        for scene in scene_list:
+            ff = os.path.join(features_path, scene + ".npz")
+            if not os.path.isfile(ff):
+                print(f"{scene} does not have a feature file")
+                continue
+            bf = None
+            if boxes_path is not None:
+                bf = os.path.join(boxes_path, scene + ".npy")
+                if np.load(bf).shape[0] == 0:
+                    print(f"{scene} does not have any boxes")
+                    continue
+            self.records.append(SceneRecord(scene, ff, bf))
+
+        self._cache = None
+        if preload:
+            self._cache = [self._load(r) for r in self.records]
+
+    def _load(self, rec: SceneRecord):
+        return load_scene(
+            rec.features_file, rec.boxes_file, self.normalize_density, self.alpha_fn
+        )
+
+    def __len__(self):
+        return len(self.records)
+
+    @property
+    def scene_names(self):
+        return [r.name for r in self.records]
+
+    def __getitem__(self, idx: int):
+        if self._cache is not None:
+            rgbsigma, boxes = self._cache[idx]
+        else:
+            rgbsigma, boxes = self._load(self.records[idx])
+        if self.flip_prob > 0 or self.rotate_prob > 0 or self.rot_scale_prob > 0:
+            rgbsigma, boxes = augment_rpn_inputs(
+                rgbsigma, boxes, self.rng,
+                self.flip_prob, self.rotate_prob, self.rot_scale_prob,
+            )
+        return rgbsigma, boxes, self.records[idx].name
+
+
+class Front3DRPNDataset(BaseRPNDataset):
+    pass
+
+
+class HypersimRPNDataset(BaseRPNDataset):
+    pass
+
+
+class ScanNetRPNDataset(BaseRPNDataset):
+    """ScanNet: features are z-up, always preloaded, ReLU-activation alpha."""
+
+    alpha_fn = staticmethod(density_to_alpha_relu)
+
+    def __init__(self, scene_list, features_path, boxes_path, **kw):
+        kw.setdefault("preload", True)
+        kw.setdefault("normalize_density", True)
+        super().__init__(features_path, boxes_path, scene_list, **kw)
+
+
+class GeneralRPNDataset(BaseRPNDataset):
+    """CSV with columns scene,rgbsigma_path,boxes_path; 'None' = no GT."""
+
+    def __init__(self, csv_path: str, normalize_density: bool = True, **kw):
+        self.normalize_density = normalize_density
+        self.flip_prob = kw.get("flip_prob", 0.0)
+        self.rotate_prob = kw.get("rotate_prob", 0.0)
+        self.rot_scale_prob = kw.get("rot_scale_prob", 0.0)
+        self.rng = np.random.default_rng(kw.get("seed", 0))
+        self.records = []
+        with open(csv_path, newline="") as f:
+            for row in csv.DictReader(f):
+                bf = None if row["boxes_path"] == "None" else row["boxes_path"]
+                assert os.path.isfile(row["rgbsigma_path"]), row["rgbsigma_path"]
+                if bf is not None:
+                    assert os.path.isfile(bf), bf
+                self.records.append(SceneRecord(row["scene"], row["rgbsigma_path"], bf))
+        self._cache = [self._load(r) for r in self.records]
+
+
+def split_dataset(scenes: Sequence[str], train_ratio: float, val_ratio: float,
+                  output_file: str, seed: int = 0):
+    """Shuffle + split scene names, save npz with {train,val,test}_scenes
+    (reference ``split_hypersim_dataset``, ``datasets.py:270-288``)."""
+    assert train_ratio + val_ratio <= 1.0
+    scenes = list(scenes)
+    np.random.default_rng(seed).shuffle(scenes)
+    n_train = int(len(scenes) * train_ratio)
+    n_val = int(len(scenes) * (train_ratio + val_ratio))
+    np.savez(
+        output_file,
+        train_scenes=np.array(scenes[:n_train]),
+        val_scenes=np.array(scenes[n_train:n_val]),
+        test_scenes=np.array(scenes[n_val:]),
+    )
+
+
+def load_split(split_file: str):
+    with np.load(split_file) as f:
+        return (
+            [str(s) for s in f["train_scenes"]],
+            [str(s) for s in f["val_scenes"]],
+            [str(s) for s in f["test_scenes"]],
+        )
+
+
+# ---------------------------------------------------------------------------
+# TPU batching: bucketed padding + masks
+# ---------------------------------------------------------------------------
+
+
+def round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def collate_batch(
+    samples: Sequence[tuple],
+    pad_multiple: int = 32,
+    max_gt: int = 64,
+    box_dim: int = 6,
+    fixed_shape: Sequence[int] | None = None,
+):
+    """Pad a list of (rgbsigma, boxes, name) to one static-shape batch.
+
+    Returns dict of numpy arrays:
+      grids (B, X, Y, Z, C) zero-padded; ori_sizes (B, 3) int32;
+      gt_boxes (B, max_gt, box_dim); gt_mask (B, max_gt); names list.
+
+    Bucketing to ``pad_multiple`` keeps the number of distinct compiled
+    shapes small (SURVEY 5.7: pad grids to a small set of bucketed shapes).
+    """
+    shapes = np.array([s[0].shape[:3] for s in samples])
+    if fixed_shape is not None:
+        target = np.asarray(fixed_shape)
+    else:
+        target = np.array([round_up(int(m), pad_multiple) for m in shapes.max(0)])
+    b = len(samples)
+    c = samples[0][0].shape[-1]
+    grids = np.zeros((b, *target, c), np.float32)
+    gt = np.zeros((b, max_gt, box_dim), np.float32)
+    gt_mask = np.zeros((b, max_gt), bool)
+    names = []
+    for i, (vol, boxes, name) in enumerate(samples):
+        w, l, h = vol.shape[:3]
+        assert (target >= (w, l, h)).all(), (target, vol.shape)
+        grids[i, :w, :l, :h] = vol
+        if boxes is not None and len(boxes) > 0:
+            n = min(len(boxes), max_gt)
+            gt[i, :n] = boxes[:n, :box_dim]
+            gt_mask[i, :n] = True
+        names.append(name)
+    return {
+        "grids": grids,
+        "ori_sizes": shapes.astype(np.int32),
+        "gt_boxes": gt,
+        "gt_mask": gt_mask,
+        "names": names,
+    }
+
+
+def batch_iterator(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    drop_last: bool = False,
+    process_index: int = 0,
+    process_count: int = 1,
+    **collate_kw,
+):
+    """Simple host-side batch loader with per-process sharding (the
+    reference's ``DistributedSampler`` equivalent, keyed on process index)."""
+    order = np.arange(len(dataset))
+    if shuffle:
+        np.random.default_rng(seed).shuffle(order)
+    order = order[process_index::process_count]
+    for start in range(0, len(order), batch_size):
+        idx = order[start : start + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        yield collate_batch([dataset[int(i)] for i in idx], **collate_kw)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from nerf_rpn_tpu.models.heads import RPNHead3D
+from nerf_rpn_tpu.models.heads import FCOSHead3D, RPNHead3D
 from nerf_rpn_tpu.models.resnet import ResNetFPN256
 from nerf_rpn_tpu.models.swin import SWIN_VARIANTS, SwinFPN
 from nerf_rpn_tpu.models.vgg import VGGFPN
@@ -78,3 +78,37 @@ class NeRFRPN(nn.Module):
         )
         logits, deltas = head(features)
         return features, logits, deltas
+
+
+class FCOSOverNeRF(nn.Module):
+    """Backbone + FCOS head (reference ``FCOSOverNeRF``,
+    ``model/fcos/fcos.py:282-386``); returns (features, cls, reg, ctr)."""
+
+    backbone_type: str = "swin_s"
+    resolution: int = 160
+    num_convs: int = 4
+    rotated: bool = False
+    norm_reg_targets: bool = True
+    centerness_on_reg: bool = True
+    fpn_strides: Sequence[int] = (4, 8, 16, 32)
+    dtype: jnp.dtype = jnp.float32
+    bn_axis_name: str | None = None
+
+    @nn.compact
+    def __call__(self, grids: jax.Array, train: bool = False):
+        backbone = build_backbone(
+            self.backbone_type, self.resolution, self.dtype, self.bn_axis_name
+        )
+        features = backbone(grids, train=train)
+        head = FCOSHead3D(
+            in_channels=features[0].shape[-1],
+            num_convs=self.num_convs,
+            rotate=self.rotated,
+            centerness_on_reg=self.centerness_on_reg,
+            norm_reg_targets=self.norm_reg_targets,
+            fpn_strides=tuple(self.fpn_strides),
+            dtype=self.dtype,
+            name="fcos_head",
+        )
+        cls, reg, ctr = head(features, train=train)
+        return features, cls, reg, ctr

@@ -1,0 +1,44 @@
+"""Device mesh / SPMD helpers.
+
+The reference's whole distributed stack (mp.spawn + NCCL DDP +
+DistributedSampler + manual loss all-reduces, SURVEY 2.11) collapses on TPU
+to: one ``Mesh`` with a ``data`` axis, batches sharded over it, params
+replicated, and a single ``jit`` — the XLA SPMD partitioner inserts every
+collective (gradient psums, the FCOS num_pos normaliser, BatchNorm batch
+means) automatically over ICI.
+
+Scale-out knobs live here so models/training code never touch device lists.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def make_mesh(devices=None) -> Mesh:
+    """1-D data-parallel mesh over all (or the given) devices."""
+    if devices is None:
+        devices = jax.devices()
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (scene) axis over the data axis."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch: dict) -> dict:
+    """Device-put a host batch dict with the scene axis sharded."""
+    sh = batch_sharding(mesh)
+    return {
+        k: jax.device_put(v, sh) if hasattr(v, "shape") else v
+        for k, v in batch.items()
+    }

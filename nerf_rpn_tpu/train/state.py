@@ -1,0 +1,71 @@
+"""Train state, optimizer and schedule factories.
+
+Parity target: reference training setup (``run_rpn.py:345-349, 390``):
+AdamW (wd 0.01) + OneCycleLR(max_lr, total_steps) + global-norm gradient
+clipping at 0.1.  ``optax.cosine_onecycle_schedule`` matches torch
+OneCycleLR's cosine shape and default div factors (25 / 1e4, pct_start 0.3).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import optax
+from flax import struct
+from flax.core import FrozenDict
+
+
+@struct.dataclass
+class TrainState:
+    step: jax.Array
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, grads, new_batch_stats=None):
+        updates, new_opt = self.tx.update(grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=(
+                new_batch_stats if new_batch_stats is not None else self.batch_stats
+            ),
+            opt_state=new_opt,
+        )
+
+
+def make_optimizer(
+    lr: float,
+    total_steps: int,
+    weight_decay: float = 0.01,
+    clip_grad_norm: float = 0.1,
+    pct_start: float = 0.3,
+) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    schedule = optax.cosine_onecycle_schedule(
+        transition_steps=max(total_steps, 1),
+        peak_value=lr,
+        pct_start=pct_start,
+        div_factor=25.0,
+        final_div_factor=1e4,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(clip_grad_norm),
+        optax.adamw(schedule, weight_decay=weight_decay),
+    )
+    return tx, schedule
+
+
+def create_train_state(model, rng, sample_input, tx) -> TrainState:
+    variables = model.init(rng, sample_input, train=False)
+    params = variables["params"]
+    batch_stats = variables.get("batch_stats", FrozenDict())
+    return TrainState(
+        step=jax.numpy.zeros((), jax.numpy.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx,
+    )

@@ -1,0 +1,172 @@
+"""Jitted train / eval steps for the anchor RPN and FCOS pipelines.
+
+One ``jit`` per step; batches arrive with the scene axis sharded over the
+mesh's ``data`` axis and XLA's SPMD partitioner inserts the gradient /
+normaliser collectives (the reference's DDP + in-loss ``reduce_sum``,
+SURVEY 2.11, with zero communication code here).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+from nerf_rpn_tpu.models import rpn as rpn_lib
+from nerf_rpn_tpu.models import fcos as fcos_lib
+from nerf_rpn_tpu.models.rpn import RPNConfig
+from nerf_rpn_tpu.models.fcos import FCOSConfig
+
+
+def level_shapes_for(mesh_shape: Sequence[int], strides: Sequence[int]):
+    return [tuple(int(m) // s for m in mesh_shape) for s in strides]
+
+
+# ---------------------------------------------------------------------------
+# Anchor RPN
+# ---------------------------------------------------------------------------
+
+
+def make_rpn_train_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32)):
+    """Returns train_step(state, batch, key) -> (state, metrics)."""
+    shapes = level_shapes_for(mesh_shape, strides)
+    anchors_np, _, level_strides, counts = rpn_lib.build_level_tables(
+        cfg, mesh_shape, shapes
+    )
+    anchors_per_loc = model.num_anchors
+    max_dim = int(max(mesh_shape))
+
+    @jax.jit
+    def train_step(state, batch, key):
+        padding = rpn_lib.dynamic_padding_masks(
+            shapes, level_strides, anchors_per_loc, batch["ori_sizes"]
+        )
+
+        def loss_fn(params):
+            (feats, logits, deltas), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["grids"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            obj, dl = rpn_lib.flatten_head_outputs(logits, deltas, cfg.delta_dim)
+            losses = rpn_lib.rpn_losses(
+                cfg, key, obj, dl, jnp.asarray(anchors_np),
+                batch["gt_boxes"], batch["gt_mask"],
+                padding_mask=padding, max_mesh_dim=max_dim,
+            )
+            total = (
+                losses["loss_objectness"]
+                + cfg.reg_loss_weight * losses["loss_rpn_box_reg"]
+                + cfg.reg_loss_weight_2d * losses["loss_rpn_box_reg_2d"]
+            )
+            return total, (losses, mutated["batch_stats"])
+
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        metrics = {"loss": total, **losses}
+        return state, metrics
+
+    return train_step, counts
+
+
+def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32)):
+    """Returns eval_step(state, batch) -> proposals dict (fixed shapes)."""
+    shapes = level_shapes_for(mesh_shape, strides)
+    anchors_np, _, level_strides, counts = rpn_lib.build_level_tables(
+        cfg, mesh_shape, shapes
+    )
+    anchors_per_loc = model.num_anchors
+
+    @jax.jit
+    def eval_step(state, batch):
+        feats, logits, deltas = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch["grids"],
+            train=False,
+        )
+        obj, dl = rpn_lib.flatten_head_outputs(logits, deltas, cfg.delta_dim)
+        padding = rpn_lib.dynamic_padding_masks(
+            shapes, level_strides, anchors_per_loc, batch["ori_sizes"]
+        )
+        out = rpn_lib.generate_proposals(
+            cfg, obj, dl, jnp.asarray(anchors_np), counts, mesh_shape,
+            padding_mask=padding,
+        )
+        out["voxel_scores"] = rpn_lib.voxel_objectness_scores(logits)
+        return out
+
+    return eval_step
+
+
+# ---------------------------------------------------------------------------
+# FCOS
+# ---------------------------------------------------------------------------
+
+
+def make_fcos_train_step(model, cfg: FCOSConfig, mesh_shape):
+    shapes = level_shapes_for(mesh_shape, cfg.fpn_strides)
+    loc, level_of, counts, stride_of, soi = fcos_lib.fcos_locations(
+        shapes, cfg.fpn_strides
+    )
+
+    @jax.jit
+    def train_step(state, batch, key):
+        del key  # FCOS target assignment is deterministic
+
+        def loss_fn(params):
+            (feats, cls, reg, ctr), mutated = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch["grids"],
+                train=True,
+                mutable=["batch_stats"],
+            )
+            cls_f = fcos_lib.flatten_fcos_outputs(cls, 1)
+            reg_f = fcos_lib.flatten_fcos_outputs(reg, cfg.reg_dim)
+            ctr_f = fcos_lib.flatten_fcos_outputs(ctr, 1)
+            padding = fcos_lib.fcos_padding_mask(loc, batch["ori_sizes"])
+            losses = fcos_lib.fcos_losses(
+                cfg, cls_f, reg_f, ctr_f, jnp.asarray(loc),
+                jnp.asarray(stride_of), jnp.asarray(soi),
+                batch["gt_boxes"], batch["gt_mask"], padding_mask=padding,
+            )
+            total = losses["loss_cls"] + losses["loss_reg"] + losses["loss_centerness"]
+            return total, (losses, mutated.get("batch_stats", state.batch_stats))
+
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return state, {"loss": total, **losses}
+
+    return train_step, counts
+
+
+def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
+    shapes = level_shapes_for(mesh_shape, cfg.fpn_strides)
+    loc, level_of, counts, stride_of, soi = fcos_lib.fcos_locations(
+        shapes, cfg.fpn_strides
+    )
+
+    @jax.jit
+    def eval_step(state, batch):
+        variables = {"params": state.params}
+        if state.batch_stats:
+            variables["batch_stats"] = state.batch_stats
+        feats, cls, reg, ctr = model.apply(variables, batch["grids"], train=False)
+        cls_f = fcos_lib.flatten_fcos_outputs(cls, 1)
+        reg_f = fcos_lib.flatten_fcos_outputs(reg, cfg.reg_dim)
+        ctr_f = fcos_lib.flatten_fcos_outputs(ctr, 1)
+        padding = fcos_lib.fcos_padding_mask(loc, batch["ori_sizes"])
+        out = fcos_lib.fcos_inference(
+            cfg, cls_f, reg_f, ctr_f, jnp.asarray(loc), counts,
+            batch["ori_sizes"], padding_mask=padding,
+        )
+        out["voxel_scores"] = fcos_lib.fcos_voxel_scores(cls, ctr)
+        return out
+
+    return eval_step
