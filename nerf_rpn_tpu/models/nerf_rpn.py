@@ -34,6 +34,13 @@ def build_backbone(
             layers=(3, 4, 6, 3), is_max_pool=True, dtype=dtype,
             bn_axis_name=bn_axis_name, name="backbone",
         )
+    if backbone_type == "resnet_tiny":
+        # CI / dry-run variant: same topology, minimal width and depth
+        return ResNetFPN256(
+            layers=(1, 1, 1, 1), base_width=8, out_channels=32,
+            is_max_pool=True, dtype=dtype, bn_axis_name=bn_axis_name,
+            name="backbone",
+        )
     if backbone_type == "vgg_AF":
         return VGGFPN(cfg="AF", input_size=resolution, dtype=dtype,
                       bn_axis_name=bn_axis_name, name="backbone")

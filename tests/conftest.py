@@ -1,22 +1,28 @@
 """Test config: run everything on a virtual 8-device CPU mesh.
 
-Must set the XLA flags before jax initialises its backends, hence the
-env-mutation at import time (pytest imports conftest first).
+This image's sitecustomize force-registers the remote 'axon' TPU plugin and
+overrides JAX_PLATFORMS in every python process, so the env-var route is not
+enough — we must also update the jax config after import (before any backend
+is touched).  Tests must NOT hit the tunneled TPU: it is a single shared
+resource and concurrent processes deadlock it.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
-os.environ.setdefault("JAX_ENABLE_X64", "0")
+os.environ["JAX_PLATFORMS"] = "cpu"
 # persistent compilation cache: repeat test runs skip recompiles
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jax_test_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
