@@ -29,6 +29,11 @@ ASSUMED_A100_SCENES_PER_SEC = 10.0
 
 
 def main():
+    # persistent compile cache: repeat bench runs skip the (minutes-long)
+    # tunnel-side compilation
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
     from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
 
     model = NeRFRPN(
@@ -41,27 +46,38 @@ def main():
     grids = jnp.asarray(
         np.random.default_rng(0).uniform(0, 1, (1, *SHAPE, 4)).astype(np.float32)
     )
-    variables = model.init(jax.random.PRNGKey(0), grids[:, :32, :32, :32])
+    # throughput doesn't depend on param values: build zeros from shapes
+    # instead of paying a second large compile for init
+    shapes = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), grids[:, :32, :32, :32])
+    )
+    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
 
     @jax.jit
-    def forward(variables, grids):
-        feats, logits, deltas = model.apply(variables, grids, train=False)
-        return [l.astype(jnp.float32) for l in logits], [
-            d.astype(jnp.float32) for d in deltas
-        ]
+    def forward(variables, grids, carry):
+        # carry chains iterations: each call data-depends on the previous
+        # one, so timing the final host fetch measures true device time
+        # (block_until_ready is unreliable through the axon tunnel).
+        g = grids + carry * 1e-20
+        feats, logits, deltas = model.apply(variables, g, train=False)
+        s = sum(jnp.sum(l.astype(jnp.float32)) for l in logits)
+        s = s + sum(jnp.sum(d.astype(jnp.float32)) for d in deltas)
+        return s
 
-    out = forward(variables, grids)
-    jax.block_until_ready(out)
+    carry = jnp.zeros((), jnp.float32)
+    carry = forward(variables, grids, carry)
+    float(carry)  # warmup + compile barrier
     for _ in range(WARMUP - 1):
-        jax.block_until_ready(forward(variables, grids))
+        carry = forward(variables, grids, carry)
+    float(carry)
 
-    times = []
+    t0 = time.perf_counter()
     for _ in range(REPS):
-        t0 = time.perf_counter()
-        jax.block_until_ready(forward(variables, grids))
-        times.append(time.perf_counter() - t0)
+        carry = forward(variables, grids, carry)
+    float(carry)  # host fetch: waits for the whole chain
+    total = time.perf_counter() - t0
 
-    mean_s = float(np.mean(times))
+    mean_s = total / REPS
     scenes_per_sec = 1.0 / mean_s
     print(
         json.dumps(
