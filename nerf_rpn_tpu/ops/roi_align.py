@@ -1,0 +1,184 @@
+"""Rotated 3D ROI align / pool as differentiable gather-interp (TPU-native).
+
+Replaces the reference's CUDA ``ROIAlignRotated3D``
+(``model/rotated_align/cuda_3d/ROIAlignRotated3D_cuda.cu``) and the pure-torch
+``ROIPool.rotated_forward`` / ``normal_forward`` paths
+(``model/detector.py:264-438``): for each output bin, sample a fixed grid of
+points in the RoI's local frame, rotate about z by theta, trilinear-gather
+from the feature volume and reduce (mean for align, max for pooling parity).
+
+Differences from the reference, by design (SURVEY 2.9 replacement note):
+- theta is in RADIANS (the CUDA kernel took degrees; every other caller in
+  the system uses radians — keeping one convention removes the footgun).
+- the backward pass is jax autodiff through the gather (the reference's
+  hand-written backward indexes length with width — a stride bug we do not
+  reproduce).
+- sampling_ratio is a static sample count per bin axis (the reference's
+  adaptive ceil(roi_dim/pooled_dim) is data-dependent and unjittable);
+  out-of-bounds samples contribute zero, matching the kernel's bounds check.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+
+def trilinear_gather(volume: jax.Array, pts: jax.Array) -> jax.Array:
+    """Sample (X, Y, Z, C) at float coords pts (..., 3); zero outside."""
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    sx, sy, sz, _ = volume.shape
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    fx, fy, fz = x - x0, y - y0, z - z0
+    out = 0.0
+    in_bounds = (
+        (x >= 0) & (x <= sx - 1) & (y >= 0) & (y <= sy - 1)
+        & (z >= 0) & (z <= sz - 1)
+    )
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                xi = jnp.clip(x0 + dx, 0, sx - 1).astype(jnp.int32)
+                yi = jnp.clip(y0 + dy, 0, sy - 1).astype(jnp.int32)
+                zi = jnp.clip(z0 + dz, 0, sz - 1).astype(jnp.int32)
+                w = (
+                    (fx if dx else 1 - fx)
+                    * (fy if dy else 1 - fy)
+                    * (fz if dz else 1 - fz)
+                )
+                out = out + volume[xi, yi, zi] * w[..., None]
+    return out * in_bounds[..., None]
+
+
+def _roi_sample_points(
+    rois: jax.Array, output_size: tuple, sampling_ratio: int
+) -> jax.Array:
+    """Sample coordinates for each RoI.
+
+    rois: (R, 7) [cx, cy, cz, w, l, h, theta] in feature-grid coordinates.
+    Returns (R, ox, oy, oz, S^3, 3) float coords.
+    """
+    ox, oy, oz = output_size
+    s = sampling_ratio
+    ctr = rois[:, 0:3]
+    dims = rois[:, 3:6]
+    theta = rois[:, 6]
+
+    def axis_offsets(n_bins, idx_axis):
+        # bin centres subdivided s times: ((b + (k+0.5)/s) / n_bins - 0.5)
+        b = jnp.arange(n_bins, dtype=jnp.float32)
+        k = (jnp.arange(s, dtype=jnp.float32) + 0.5) / s
+        return (b[:, None] + k[None, :]) / n_bins - 0.5  # (n_bins, s)
+
+    fx = axis_offsets(ox, 0)  # (ox, s)
+    fy = axis_offsets(oy, 1)
+    fz = axis_offsets(oz, 2)
+    # local fractional offsets (ox, oy, oz, s, s, s, 3)
+    lx = fx[:, None, None, :, None, None]
+    ly = fy[None, :, None, None, :, None]
+    lz = fz[None, None, :, None, None, :]
+    lx, ly, lz = jnp.broadcast_arrays(lx, ly, lz)
+    local = jnp.stack([lx, ly, lz], axis=-1).reshape(ox, oy, oz, s ** 3, 3)
+
+    # scale to RoI dims, rotate about z, translate to centre
+    scaled = local[None] * dims[:, None, None, None, None, :]  # (R, ...)
+    cos = jnp.cos(theta)[:, None, None, None, None]
+    sin = jnp.sin(theta)[:, None, None, None, None]
+    rx = scaled[..., 0] * cos - scaled[..., 1] * sin
+    ry = scaled[..., 0] * sin + scaled[..., 1] * cos
+    pts = jnp.stack([rx, ry, scaled[..., 2]], axis=-1)
+    return pts + ctr[:, None, None, None, None, :]
+
+
+@partial(jax.jit, static_argnames=("output_size", "sampling_ratio", "mode"))
+def roi_align_rotated_3d(
+    features: jax.Array,
+    rois: jax.Array,
+    spatial_scale: float = 1.0,
+    output_size: tuple = (4, 4, 4),
+    sampling_ratio: int = 2,
+    mode: str = "avg",
+) -> jax.Array:
+    """(X, Y, Z, C) features + (R, 7) OBB rois (mesh coords) ->
+    (R, ox, oy, oz, C).
+
+    ``spatial_scale`` divides the roi coordinates into feature-grid units
+    (the reference passes 1/spatial_scale per level, ``detector.py:260``).
+    mode 'avg' = ROIAlign semantics; 'max' = max-pool parity with the
+    reference's pooling path.
+    """
+    r = rois.at[:, 0:6].multiply(1.0 / spatial_scale)
+    pts = _roi_sample_points(r, output_size, sampling_ratio)  # (R,ox,oy,oz,S,3)
+    vals = trilinear_gather(features, pts)  # (R, ox, oy, oz, S, C)
+    if mode == "avg":
+        return jnp.mean(vals, axis=-2)
+    if mode == "max":
+        return jnp.max(vals, axis=-2)
+    raise ValueError(mode)
+
+
+def multilevel_roi_align(
+    features: list[jax.Array],
+    rois: jax.Array,
+    levels: jax.Array,
+    valid: jax.Array,
+    spatial_scales: tuple,
+    output_size: tuple = (4, 4, 4),
+    sampling_ratio: int = 2,
+    mode: str = "avg",
+    rotated: bool = True,
+    enlarge_scale: float = 0.2,
+) -> jax.Array:
+    """RoI features from an FPN pyramid (fixed shapes).
+
+    features: per-level (X_l, Y_l, Z_l, C); rois: (R, 6|7) in mesh coords;
+    levels: (R,) int; valid: (R,) bool.  Each RoI is pooled from every level
+    and the right one is selected — on TPU this trades a constant factor of
+    redundant gathers (cheap, batched) for zero dynamic shapes; invalid rois
+    produce zeros.  RoIs are enlarged by (1 + enlarge_scale) like reference
+    ``enlarge_roi`` (``detector.py:195-211``).
+    """
+    if rotated:
+        obb = rois
+    else:  # AABB -> centre/size, theta = 0
+        ctr = (rois[:, 0:3] + rois[:, 3:6]) / 2
+        size = rois[:, 3:6] - rois[:, 0:3]
+        obb = jnp.concatenate([ctr, size, jnp.zeros((rois.shape[0], 1))], axis=-1)
+    obb = obb.at[:, 3:6].multiply(1.0 + enlarge_scale)
+
+    out = None
+    for lvl, (feat, scale) in enumerate(zip(features, spatial_scales)):
+        pooled = roi_align_rotated_3d(
+            feat, obb, float(scale), output_size, sampling_ratio, mode
+        )
+        sel = (levels == lvl) & valid
+        w = sel.astype(pooled.dtype)[:, None, None, None, None]
+        out = pooled * w if out is None else out + pooled * w
+    return out
+
+
+def map_rois_to_levels(
+    boxes: jax.Array,
+    k_min: int,
+    k_max: int,
+    canonical_scale: int = 160,
+    canonical_level: int = 4,
+    eps: float = 1e-6,
+) -> jax.Array:
+    """FPN paper eqn-1 level assignment from cube-root box volume
+    (reference ``LevelMapper``, ``model/level_mapper.py:21-77``).
+
+    boxes: (..., 6|7); returns level indices relative to k_min (0-based).
+    """
+    if boxes.shape[-1] == 7:
+        vol = jnp.prod(boxes[..., 3:6], axis=-1)
+    else:
+        vol = jnp.prod(boxes[..., 3:6] - boxes[..., 0:3], axis=-1)
+    s = jnp.cbrt(vol)
+    lvl = jnp.floor(canonical_level + jnp.log2(s / canonical_scale) + eps)
+    lvl = jnp.clip(lvl, k_min, k_max)
+    return (lvl - k_min).astype(jnp.int32)

@@ -1,0 +1,208 @@
+"""Second stage: ROI align, level mapping, RoI sampling, RCNN head + losses."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from nerf_rpn_tpu.ops.roi_align import (
+    trilinear_gather,
+    roi_align_rotated_3d,
+    multilevel_roi_align,
+    map_rois_to_levels,
+)
+from nerf_rpn_tpu.models.detector import (
+    RCNNConfig,
+    RCNNHead,
+    sample_rois,
+    label_all_rois,
+    rcnn_losses,
+)
+
+
+def test_trilinear_gather_exact_and_interp():
+    vol = jnp.arange(4 * 4 * 4, dtype=jnp.float32).reshape(4, 4, 4, 1)
+    # exact voxel
+    v = trilinear_gather(vol, jnp.asarray([[1.0, 2.0, 3.0]]))
+    np.testing.assert_allclose(float(v[0, 0]), 1 * 16 + 2 * 4 + 3)
+    # midpoint between two voxels along z
+    v = trilinear_gather(vol, jnp.asarray([[0.0, 0.0, 0.5]]))
+    np.testing.assert_allclose(float(v[0, 0]), 0.5)
+    # out of bounds -> 0
+    v = trilinear_gather(vol, jnp.asarray([[-1.0, 0.0, 0.0], [5.0, 0.0, 0.0]]))
+    np.testing.assert_allclose(np.asarray(v)[:, 0], [0.0, 0.0])
+
+
+def test_roi_align_constant_volume():
+    """Constant feature volume -> every bin equals the constant."""
+    vol = jnp.full((8, 8, 8, 3), 2.5)
+    rois = jnp.asarray([[4.0, 4, 4, 4, 4, 4, 0.6]])
+    out = roi_align_rotated_3d(vol, rois, 1.0, (2, 2, 2), 2)
+    assert out.shape == (1, 2, 2, 2, 3)
+    np.testing.assert_allclose(np.asarray(out), 2.5, rtol=1e-5)
+
+
+def test_roi_align_gradient_ramp():
+    """Feature = x coordinate: bin means must increase along the roi's x."""
+    xs = jnp.arange(16, dtype=jnp.float32)
+    vol = jnp.broadcast_to(xs[:, None, None, None], (16, 16, 16, 1))
+    rois = jnp.asarray([[8.0, 8, 8, 8, 4, 4, 0.0]])
+    out = np.asarray(roi_align_rotated_3d(vol, rois, 1.0, (4, 2, 2), 2))[0, :, 0, 0, 0]
+    assert np.all(np.diff(out) > 0)
+    np.testing.assert_allclose(out.mean(), 8.0, atol=0.1)
+
+
+def test_roi_align_rotation_swaps_axes():
+    """Rotating the RoI 90deg about z makes its local x track the volume y."""
+    ys = jnp.arange(16, dtype=jnp.float32)
+    vol = jnp.broadcast_to(ys[None, :, None, None], (16, 16, 16, 1))
+    rois = jnp.asarray([[8.0, 8, 8, 8, 4, 4, np.pi / 2]])
+    out = np.asarray(roi_align_rotated_3d(vol, rois, 1.0, (4, 1, 1), 2))[0, :, 0, 0, 0]
+    assert np.all(np.diff(out) > 0.5)  # local +x now sweeps +y
+
+
+def test_roi_align_spatial_scale():
+    vol = jnp.full((4, 4, 4, 1), 7.0)
+    # roi in mesh coords at stride 4 -> feature coords /4
+    rois = jnp.asarray([[8.0, 8, 8, 8, 8, 8, 0.0]])
+    out = roi_align_rotated_3d(vol, rois, 4.0, (1, 1, 1), 2)
+    np.testing.assert_allclose(np.asarray(out), 7.0, rtol=1e-5)
+
+
+def test_roi_align_differentiable():
+    vol = jnp.ones((8, 8, 8, 2))
+    rois = jnp.asarray([[4.0, 4, 4, 4, 4, 4, 0.3]])
+
+    def f(v):
+        return jnp.sum(roi_align_rotated_3d(v, rois, 1.0, (2, 2, 2), 2))
+
+    g = jax.grad(f)(vol)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.asarray(g).sum() > 0
+
+
+def test_multilevel_roi_align_selects_level():
+    feats = [jnp.full((8, 8, 8, 2), 1.0), jnp.full((4, 4, 4, 2), 5.0)]
+    rois = jnp.asarray([[4.0, 4, 4, 2, 2, 2, 0.0], [4.0, 4, 4, 2, 2, 2, 0.0]])
+    levels = jnp.asarray([0, 1])
+    valid = jnp.asarray([True, True])
+    out = np.asarray(
+        multilevel_roi_align(feats, rois, levels, valid, (1, 2), (2, 2, 2), 2)
+    )
+    np.testing.assert_allclose(out[0], 1.0, rtol=1e-5)
+    np.testing.assert_allclose(out[1], 5.0, rtol=1e-5)
+    # invalid roi -> zeros
+    out2 = np.asarray(
+        multilevel_roi_align(feats, rois, levels, jnp.asarray([True, False]),
+                             (1, 2), (2, 2, 2), 2)
+    )
+    np.testing.assert_allclose(out2[1], 0.0)
+
+
+def test_level_mapper():
+    boxes = jnp.asarray(
+        [
+            [0, 0, 0, 160, 160, 160],  # canonical scale -> level 4
+            [0, 0, 0, 80, 80, 80],     # half -> level 3
+            [0, 0, 0, 10, 10, 10],     # tiny -> clamped to k_min
+        ],
+        jnp.float32,
+    )
+    lv = np.asarray(map_rois_to_levels(boxes, k_min=2, k_max=5))
+    assert lv.tolist() == [2, 1, 0]  # relative to k_min=2
+
+
+def _roi_setup(rotated=False, seed=0):
+    rng = np.random.default_rng(seed)
+    n = 64
+    if rotated:
+        rois = np.zeros((n, 7), np.float32)
+        rois[:, :3] = rng.uniform(8, 24, (n, 3))
+        rois[:, 3:6] = rng.uniform(2, 8, (n, 3))
+        rois[:, 6] = rng.uniform(-0.5, 0.5, n)
+        gt = np.asarray([[16, 16, 16, 8, 8, 8, 0.1]], np.float32)
+    else:
+        lo = rng.uniform(4, 24, (n, 3))
+        rois = np.concatenate([lo, lo + rng.uniform(2, 8, (n, 3))], -1).astype(np.float32)
+        gt = np.asarray([[12, 12, 12, 20, 20, 20]], np.float32)
+        # make the first few rois genuine foreground (jittered copies of gt)
+        for i in range(5):
+            rois[i] = gt[0] + rng.uniform(-0.5, 0.5, 6)
+    return jnp.asarray(rois), jnp.asarray(gt)
+
+
+def test_sample_rois_budgets():
+    cfg = RCNNConfig(fg_threshold=0.3, bg_threshold=0.2)
+    rois, gt = _roi_setup()
+    levels = jnp.zeros(64, jnp.int32)
+    valid = jnp.ones(64, bool)
+    out = sample_rois(cfg, jax.random.PRNGKey(0), rois, levels, valid,
+                      gt, jnp.asarray([True]), rois_per_image=32)
+    labels = np.asarray(out["labels"])
+    v = np.asarray(out["valid"])
+    assert v.all()  # both pools non-empty here
+    assert 0 < labels.sum() <= 16  # fg_fraction 0.5 of 32
+    # fg slots really overlap the gt
+    from nerf_rpn_tpu.ops.aabb import pairwise_iou_aabb
+    fg_boxes = np.asarray(out["boxes"])[labels > 0]
+    ious = np.asarray(pairwise_iou_aabb(jnp.asarray(fg_boxes), gt)).max(1)
+    assert (ious >= 0.3).all()
+
+
+def test_sample_rois_no_fg():
+    cfg = RCNNConfig(fg_threshold=0.9, bg_threshold=0.5)
+    rois, gt = _roi_setup()
+    out = sample_rois(cfg, jax.random.PRNGKey(0), rois,
+                      jnp.zeros(64, jnp.int32), jnp.ones(64, bool),
+                      gt, jnp.asarray([True]), rois_per_image=16)
+    assert np.asarray(out["labels"]).sum() == 0
+    assert np.asarray(out["valid"]).all()  # bg fills all slots
+
+
+def test_label_all_rois():
+    cfg = RCNNConfig(fg_threshold=0.3)
+    rois, gt = _roi_setup()
+    labels, matched = label_all_rois(cfg, rois, jnp.ones(64, bool),
+                                     gt, jnp.asarray([True]))
+    assert labels.shape == (64,)
+    assert matched.shape == (64, 6)
+    assert 0 < np.asarray(labels).sum() < 64
+
+
+def test_rcnn_head_and_losses():
+    cfg = RCNNConfig()
+    feats = jnp.asarray(np.random.default_rng(0).normal(size=(8, 4, 4, 4, 16)),
+                        jnp.float32)
+    head = RCNNHead(in_channels=16, add_conv_layers=True)
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    deltas, scores = head.apply(variables, feats)
+    assert deltas.shape == (8, 6) and scores.shape == (8, 2)
+
+    rois, gt = _roi_setup()
+    rois8 = rois[:8]
+    labels = jnp.asarray([1, 1, 0, 0, 0, 0, 0, 0], jnp.float32)
+    matched = jnp.broadcast_to(gt[0], (8, 6))
+    losses = rcnn_losses(cfg, deltas, scores, labels, matched, rois8,
+                         jnp.ones(8, bool))
+    for k, v in losses.items():
+        assert np.isfinite(float(v)), (k, float(v))
+
+    def total(d, s):
+        l = rcnn_losses(cfg, d, s, labels, matched, rois8, jnp.ones(8, bool))
+        return l["loss_objectness"] + l["loss_rpn_box_reg"]
+
+    gd, gs = jax.grad(total, argnums=(0, 1))(deltas, scores)
+    assert np.isfinite(np.asarray(gd)).all() and np.isfinite(np.asarray(gs)).all()
+
+
+def test_rcnn_losses_rotated():
+    cfg = RCNNConfig(rotated=True)
+    rois, gt = _roi_setup(rotated=True)
+    rois8 = rois[:8]
+    labels = jnp.asarray([1, 0, 1, 0, 0, 0, 0, 0], jnp.float32)
+    matched = jnp.broadcast_to(gt[0], (8, 7))
+    deltas = jnp.zeros((8, 7))
+    scores = jnp.zeros((8, 2))
+    losses = rcnn_losses(cfg, deltas, scores, labels, matched, rois8,
+                         jnp.ones(8, bool))
+    assert np.isfinite(float(losses["loss_objectness"]))
+    assert np.isfinite(float(losses["loss_rpn_box_reg"]))
