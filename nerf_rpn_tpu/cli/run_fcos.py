@@ -24,7 +24,7 @@ from nerf_rpn_tpu.models.fcos import FCOSConfig
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
 from nerf_rpn_tpu.train.state import create_train_state, make_optimizer
 from nerf_rpn_tpu.train.steps import make_fcos_eval_step, make_fcos_train_step
-from nerf_rpn_tpu.parallel.mesh import make_mesh, shard_batch
+from nerf_rpn_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 
 STRIDES = (4, 8, 16, 32)
 
@@ -101,7 +101,7 @@ class Trainer:
         self.args = args
         self.logger = common.setup_logger(args.save_path, args.log_to_file, "run_fcos")
         self.wandb = common.maybe_wandb(args)
-        self.mesh = make_mesh()
+        self.mesh = make_mesh_for_batch(args.batch_size)
         self.box_dim = 7 if args.rotated_bbox else 6
         side = round_up(args.resolution, args.pad_multiple)
         self.mesh_shape = (side, side, side)

@@ -28,7 +28,7 @@ from nerf_rpn_tpu.models.rpn import RPNConfig
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
 from nerf_rpn_tpu.train.state import create_train_state, make_optimizer
 from nerf_rpn_tpu.train.steps import make_rpn_eval_step, make_rpn_train_step
-from nerf_rpn_tpu.parallel.mesh import make_mesh, shard_batch
+from nerf_rpn_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 
 STRIDES = (4, 8, 16, 32)
 
@@ -46,8 +46,8 @@ def parse_args(argv=None):
     p.add_argument("--checkpoint", default="")
     p.add_argument("--load_backbone_only", action="store_true")
     p.add_argument("--backbone_type", default="resnet",
-                   choices=["resnet", "vgg_AF", "vgg_EF", "swin_t", "swin_s",
-                            "swin_b", "swin_l"])
+                   choices=["resnet", "resnet_tiny", "vgg_AF", "vgg_EF",
+                            "swin_t", "swin_s", "swin_b", "swin_l"])
     p.add_argument("--freeze_backbone", action="store_true")
     p.add_argument("--train_csv", default="")
     p.add_argument("--val_csv", default="")
@@ -106,7 +106,7 @@ class Trainer:
         self.args = args
         self.logger = common.setup_logger(args.save_path, args.log_to_file, "run_rpn")
         self.wandb = common.maybe_wandb(args)
-        self.mesh = make_mesh()
+        self.mesh = make_mesh_for_batch(args.batch_size)
         self.box_dim = 7 if args.rotated_bbox else 6
         side = round_up(args.resolution, args.pad_multiple)
         self.mesh_shape = (side, side, side)

@@ -204,6 +204,145 @@ def load_split(split_file: str):
         )
 
 
+class RPNClassificationDataset:
+    """Stage-2 dataset: saved FPN level features + RPN proposals per scene
+    (reference ``RPNClassificationDataset``, ``datasets.py:332-496``).
+
+    Each item -> (features: list of per-level (X, Y, Z, C) arrays | raw
+    rgbsigma in fine_tune mode, boxes (G, D), rois (R, D), roi_levels (R,),
+    scene).  fine_tune mode drops RoIs covering > 50% of the scene volume
+    (``datasets.py:386-392``).
+    """
+
+    def __init__(self, features_path: str, boxes_path: str, roi_path: str,
+                 scene_names: Optional[Sequence[str]] = None,
+                 fine_tune: bool = False, normalize_density: bool = True):
+        self.fine_tune = fine_tune
+        if scene_names is None:
+            scene_names = sorted(
+                f[: -len(".npz")]
+                for f in os.listdir(features_path)
+                if f.endswith(".npz")
+            )
+        self.scene_data = []
+        for scene in scene_names:
+            bf = os.path.join(boxes_path, scene + ".npy")
+            rf = os.path.join(roi_path, scene + ".npz")
+            ff = os.path.join(features_path, scene + ".npz")
+            if not (os.path.isfile(bf) and os.path.isfile(rf) and os.path.isfile(ff)):
+                print(f"{scene} does not have a training file")
+                continue
+            with np.load(ff, allow_pickle=True) as feats:
+                if fine_tune:
+                    rgbsigma = feats["rgbsigma"].astype(np.float32)
+                    if normalize_density:
+                        rgbsigma[..., -1] = density_to_alpha_ngp(rgbsigma[..., -1])
+                    features = rgbsigma  # (W, L, H, C)
+                    resolution = rgbsigma.shape[:3]
+                else:
+                    resolution = feats["resolution"]
+                    level_feats = feats["level_features"]
+                    features = []
+                    for i in range(len(level_feats)):
+                        arr = level_feats[i].reshape(resolution[i]).astype(np.float32)
+                        # saved layout is (C, X, Y, Z) (reference dump);
+                        # convert to this framework's channels-last
+                        features.append(np.moveaxis(arr, 0, -1))
+            boxes = np.load(bf).astype(np.float32)
+            with np.load(rf, allow_pickle=True) as f_roi:
+                proposals = f_roi["proposals"].astype(np.float32)
+                levels = f_roi["level_indices"].astype(np.int32)
+            if fine_tune:
+                world_vol = float(np.prod(resolution[:3]))
+                vol = proposals[:, 3] * proposals[:, 4] * proposals[:, 5]
+                keep = vol / world_vol <= 0.5
+                proposals, levels = proposals[keep], levels[keep]
+            self.scene_data.append((scene, features, boxes, proposals, levels))
+
+    def __len__(self):
+        return len(self.scene_data)
+
+    @property
+    def scene_names(self):
+        return [s[0] for s in self.scene_data]
+
+    def __getitem__(self, idx):
+        scene, features, boxes, proposals, levels = self.scene_data[idx]
+        return features, boxes, proposals, levels, scene
+
+
+def collate_classification_batch(
+    samples: Sequence[tuple],
+    max_rois: int = 1024,
+    max_gt: int = 64,
+    box_dim: int = 6,
+    level_pad_multiple: int = 8,
+):
+    """Pad a stage-2 batch to static shapes.
+
+    Returns dict: features (list of (B, X_l, Y_l, Z_l, C)), rois
+    (B, R, box_dim), roi_levels (B, R) int32, roi_valid (B, R), gt_boxes,
+    gt_mask, names.
+    """
+    b = len(samples)
+    fine_tune = isinstance(samples[0][0], np.ndarray)
+    if fine_tune:
+        # raw rgbsigma grids -> one padded (B, X, Y, Z, C) array
+        shapes = np.array([s[0].shape[:3] for s in samples])
+        target = np.array(
+            [round_up(int(m), level_pad_multiple) for m in shapes.max(0)]
+        )
+        c = samples[0][0].shape[-1]
+        grids = np.zeros((b, *target, c), np.float32)
+        for i, s in enumerate(samples):
+            f = s[0]
+            grids[i, : f.shape[0], : f.shape[1], : f.shape[2]] = f
+        feats_out = None
+    else:
+        n_levels = len(samples[0][0])
+        feats_out = []
+        for lvl in range(n_levels):
+            shapes = np.array([s[0][lvl].shape[:3] for s in samples])
+            target = np.array(
+                [round_up(int(m), level_pad_multiple) for m in shapes.max(0)]
+            )
+            c = samples[0][0][lvl].shape[-1]
+            buf = np.zeros((b, *target, c), np.float32)
+            for i, s in enumerate(samples):
+                f = s[0][lvl]
+                buf[i, : f.shape[0], : f.shape[1], : f.shape[2]] = f
+            feats_out.append(buf)
+
+    rois = np.zeros((b, max_rois, box_dim), np.float32)
+    roi_levels = np.zeros((b, max_rois), np.int32)
+    roi_valid = np.zeros((b, max_rois), bool)
+    gt = np.zeros((b, max_gt, box_dim), np.float32)
+    gt_mask = np.zeros((b, max_gt), bool)
+    names = []
+    for i, (feats, boxes, proposals, levels, name) in enumerate(samples):
+        r = min(len(proposals), max_rois)
+        rois[i, :r] = proposals[:r, :box_dim]
+        roi_levels[i, :r] = levels[:r]
+        roi_valid[i, :r] = True
+        g = min(len(boxes), max_gt)
+        gt[i, :g] = boxes[:g, :box_dim]
+        gt_mask[i, :g] = True
+        names.append(name)
+    out = {
+        "rois": rois,
+        "roi_levels": roi_levels,
+        "roi_valid": roi_valid,
+        "gt_boxes": gt,
+        "gt_mask": gt_mask,
+        "names": names,
+    }
+    if fine_tune:
+        out["grids"] = grids
+    else:
+        out["features"] = feats_out
+    return out
+
+
 # ---------------------------------------------------------------------------
 # TPU batching: bucketed padding + masks
 # ---------------------------------------------------------------------------

@@ -41,10 +41,11 @@ def pairwise_iou_chunked(boxes1: jax.Array, boxes2: jax.Array, chunk: int = 128)
     m = boxes1.shape[0]
     if m <= chunk:
         return pairwise_iou(boxes1, boxes2)
-    assert m % chunk == 0, f"M={m} not a multiple of chunk={chunk}"
-    rows = boxes1.reshape(m // chunk, chunk, boxes1.shape[-1])
+    pad = (-m) % chunk
+    padded = jnp.pad(boxes1, ((0, pad), (0, 0))) if pad else boxes1
+    rows = padded.reshape(-1, chunk, boxes1.shape[-1])
     out = jax.lax.map(lambda r: pairwise_iou(r, boxes2), rows)
-    return out.reshape(m, boxes2.shape[0])
+    return out.reshape(-1, boxes2.shape[0])[:m]
 
 
 @partial(jax.jit, static_argnames=("iou_chunk",))

@@ -26,6 +26,17 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 
 
+def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
+    """Mesh over the largest device count that divides ``batch_size``
+    (a batch of 1 gets a 1-device mesh, 8 scenes on 8 chips shard 1:1)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (DATA_AXIS,))
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (scene) axis over the data axis."""
     return NamedSharding(mesh, P(DATA_AXIS))
@@ -36,9 +47,14 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
-    """Device-put a host batch dict with the scene axis sharded."""
+    """Device-put a host batch dict with the scene axis sharded.
+
+    Non-array entries (e.g. scene-name lists) are dropped — step functions
+    are jitted and only accept arrays; keep host metadata on the host.
+    """
     sh = batch_sharding(mesh)
     return {
-        k: jax.device_put(v, sh) if hasattr(v, "shape") else v
+        k: jax.device_put(v, sh)
         for k, v in batch.items()
+        if hasattr(v, "shape")
     }

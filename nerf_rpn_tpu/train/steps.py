@@ -51,7 +51,10 @@ def make_rpn_train_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32
                 train=True,
                 mutable=["batch_stats"],
             )
-            obj, dl = rpn_lib.flatten_head_outputs(logits, deltas, cfg.delta_dim)
+            # use only the levels covered by the anchor tables
+            obj, dl = rpn_lib.flatten_head_outputs(
+                logits[: len(shapes)], deltas[: len(shapes)], cfg.delta_dim
+            )
             losses = rpn_lib.rpn_losses(
                 cfg, key, obj, dl, jnp.asarray(anchors_np),
                 batch["gt_boxes"], batch["gt_mask"],
@@ -89,7 +92,9 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32)
             batch["grids"],
             train=False,
         )
-        obj, dl = rpn_lib.flatten_head_outputs(logits, deltas, cfg.delta_dim)
+        obj, dl = rpn_lib.flatten_head_outputs(
+            logits[: len(shapes)], deltas[: len(shapes)], cfg.delta_dim
+        )
         padding = rpn_lib.dynamic_padding_masks(
             shapes, level_strides, anchors_per_loc, batch["ori_sizes"]
         )
@@ -97,7 +102,7 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32)
             cfg, obj, dl, jnp.asarray(anchors_np), counts, mesh_shape,
             padding_mask=padding,
         )
-        out["voxel_scores"] = rpn_lib.voxel_objectness_scores(logits)
+        out["voxel_scores"] = rpn_lib.voxel_objectness_scores(logits[: len(shapes)])
         return out
 
     return eval_step
@@ -144,6 +149,119 @@ def make_fcos_train_step(model, cfg: FCOSConfig, mesh_shape):
         return state, {"loss": total, **losses}
 
     return train_step, counts
+
+
+def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
+                         backbone=None):
+    """RCNN second stage (reference ``Classification_Model.forward`` +
+    ``train_epoch``, ``run_rpn_detect.py:342``).  ``backbone`` is the
+    optional fine-tune feature extractor applied to raw grids."""
+    import jax.random as jrandom
+
+    from nerf_rpn_tpu.models import detector as det
+    from nerf_rpn_tpu.ops.roi_align import multilevel_roi_align
+
+    @jax.jit
+    def train_step(state, batch, key):
+        def loss_fn(params):
+            mutated = {}
+            if backbone is not None:
+                variables = {"params": params["backbone"]}
+                if state.batch_stats:
+                    variables["batch_stats"] = state.batch_stats
+                features, mut = backbone.apply(
+                    variables, batch["grids"], train=True,
+                    mutable=["batch_stats"],
+                )
+                mutated = mut
+                head_params = params["head"]
+            else:
+                features = batch["features"]
+                head_params = params
+
+            b = batch["rois"].shape[0]
+            keys = jrandom.split(key, b)
+            sampled = jax.vmap(
+                lambda k, r, lv, v, g, gm: det.sample_rois(
+                    cfg, k, r, lv, v, g, gm, rois_per_image
+                )
+            )(keys, batch["rois"], batch["roi_levels"], batch["roi_valid"],
+              batch["gt_boxes"], batch["gt_mask"])
+
+            pooled = jax.vmap(
+                lambda feats, s: multilevel_roi_align(
+                    list(feats), s["boxes"], s["levels"], s["valid"],
+                    spatial_scales, cfg.output_size, cfg.sampling_ratio,
+                    cfg.pool_mode, rotated=cfg.rotated,
+                    enlarge_scale=cfg.enlarge_scale,
+                )
+            )(tuple(features), sampled)
+            flat = pooled.reshape(-1, *pooled.shape[2:])
+            deltas, scores = head_model.apply({"params": head_params}, flat)
+            losses = det.rcnn_losses(
+                cfg, deltas, scores,
+                sampled["labels"].reshape(-1),
+                sampled["matched_gt"].reshape(-1, cfg.box_dim),
+                sampled["boxes"].reshape(-1, cfg.box_dim),
+                sampled["valid"].reshape(-1),
+            )
+            total = losses["loss_objectness"] + losses["loss_rpn_box_reg"]
+            new_bs = mutated.get("batch_stats", state.batch_stats)
+            return total, (losses, new_bs)
+
+        (total, (losses, new_bs)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(state.params)
+        state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        return state, {"loss": total, **losses}
+
+    return train_step
+
+
+def make_rcnn_eval_step(head_model, cfg, spatial_scales, backbone=None):
+    """Score/refine every RoI (no sampling; reference eval splits RoIs into
+    cls_batch_size chunks, ``run_rpn_detect.py:459-491`` — fixed shapes make
+    that unnecessary here)."""
+    from nerf_rpn_tpu.models import detector as det
+    from nerf_rpn_tpu.ops.roi_align import multilevel_roi_align
+
+    @jax.jit
+    def eval_step(state, batch):
+        if backbone is not None:
+            variables = {"params": state.params["backbone"]}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            features = backbone.apply(variables, batch["grids"], train=False)
+            head_params = state.params["head"]
+        else:
+            features = batch["features"]
+            head_params = state.params
+
+        labels, matched = jax.vmap(
+            lambda r, v, g, gm: det.label_all_rois(cfg, r, v, g, gm)
+        )(batch["rois"], batch["roi_valid"], batch["gt_boxes"], batch["gt_mask"])
+
+        pooled = jax.vmap(
+            lambda feats, r, lv, v: multilevel_roi_align(
+                list(feats), r, lv, v, spatial_scales, cfg.output_size,
+                cfg.sampling_ratio, cfg.pool_mode, rotated=cfg.rotated,
+                enlarge_scale=cfg.enlarge_scale,
+            )
+        )(tuple(features), batch["rois"], batch["roi_levels"], batch["roi_valid"])
+        b, r = pooled.shape[:2]
+        flat = pooled.reshape(b * r, *pooled.shape[2:])
+        deltas, scores = head_model.apply({"params": head_params}, flat)
+        deltas = deltas.reshape(b, r, -1)
+        probs = jax.nn.softmax(scores, axis=-1).reshape(b, r, -1)
+        refined = cfg.decode(deltas, batch["rois"])
+        return {
+            "scores": probs,
+            "refined_boxes": refined,
+            "labels": labels,
+            "valid": batch["roi_valid"],
+        }
+
+    return eval_step
 
 
 def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
