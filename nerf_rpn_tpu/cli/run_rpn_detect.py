@@ -127,8 +127,9 @@ class Trainer:
             add_conv_layers=args.is_add_layer,
             flatten=args.is_flatten,
         )
+        bb_type = "swin_s" if args.backbone_type == "swin" else args.backbone_type
         self.backbone = (
-            build_backbone(args.backbone_type, args.resolution)
+            build_backbone(bb_type, args.resolution)
             if args.fine_tune else None
         )
         self.spatial_scales = tuple(args.spatial_scale)

@@ -192,7 +192,7 @@ class SwinBlock(nn.Module):
         )
         h = ln("norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h)
+        h = nn.gelu(h, approximate=False)  # erf form (torch nn.GELU parity)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + stochastic_depth(h)
 
