@@ -39,6 +39,7 @@ from nerf_rpn_tpu.ops.fcos_box import (
     encode_fcos_obb,
 )
 from nerf_rpn_tpu.ops.nms import NEG_INF, nms_mask
+from nerf_rpn_tpu.ops.topk import safe_top_k
 from nerf_rpn_tpu.ops.obb import obb2points_3d
 from nerf_rpn_tpu.ops.rotated_iou import box2corners
 from nerf_rpn_tpu.models.rpn import _rotated_iou_loss
@@ -374,7 +375,7 @@ def fcos_inference(
 
         candidate = s > cfg.pre_nms_thresh
         masked = jnp.where(candidate, cmb, NEG_INF)
-        top_s, top_i = jax.lax.top_k(masked, k)          # (B, k)
+        top_s, top_i = safe_top_k(masked, k)          # (B, k)
         sel_reg = jnp.take_along_axis(reg, top_i[..., None], axis=1)
         sel_loc = loc[top_i]                              # (B, k, 3)
 
@@ -400,7 +401,7 @@ def fcos_inference(
         keep = nms_mask(bx, sc, vd, cfg.nms_thresh)  # cross-level, single class
         masked = jnp.where(keep, sc, NEG_INF)
         k = min(cfg.fpn_post_nms_top_n, masked.shape[0])
-        top_s, top_i = jax.lax.top_k(masked, k)
+        top_s, top_i = safe_top_k(masked, k)
         return bx[top_i], jnp.clip(top_s, 0.0), lv[top_i], top_s > NEG_INF / 2
 
     out_boxes, out_scores, out_levels, out_valid = jax.vmap(nms_one)(

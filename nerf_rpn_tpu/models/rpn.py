@@ -36,6 +36,7 @@ from nerf_rpn_tpu.ops.aabb import (
     small_box_mask,
 )
 from nerf_rpn_tpu.ops.nms import NEG_INF, nms_mask
+from nerf_rpn_tpu.ops.topk import safe_top_k
 from nerf_rpn_tpu.ops.obb import obb2hbb_3d, obb2points_3d
 from nerf_rpn_tpu.ops.rotated_iou import (
     diou_rotated_3d,
@@ -294,7 +295,7 @@ def generate_proposals(
     for lvl, count in enumerate(level_counts):
         k = min(cfg.pre_nms_top_n, count)
         s = jax.lax.slice_in_dim(scores, offset, offset + count, axis=1)
-        top_s, top_i = jax.lax.top_k(s, k)  # (B, k)
+        top_s, top_i = safe_top_k(s, k)  # (B, k)
         lvl_anchors = jax.lax.slice_in_dim(anchors, offset, offset + count, axis=0)
         lvl_deltas = jax.lax.slice_in_dim(pred_deltas, offset, offset + count, axis=1)
         sel_anchors = lvl_anchors[top_i]                      # (B, k, 6)
@@ -323,7 +324,7 @@ def generate_proposals(
         keep = nms_mask(bx, sc, vd, cfg.nms_thresh, category=lv)
         masked = jnp.where(keep, sc, NEG_INF)
         k = min(cfg.post_nms_top_n, masked.shape[0])
-        top_s, top_i = jax.lax.top_k(masked, k)
+        top_s, top_i = safe_top_k(masked, k)
         return bx[top_i], jnp.clip(top_s, 0.0), lv[top_i], top_s > NEG_INF / 2
 
     out_boxes, out_scores, out_levels, out_valid = jax.vmap(nms_one)(

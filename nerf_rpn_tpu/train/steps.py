@@ -21,7 +21,9 @@ from nerf_rpn_tpu.models.fcos import FCOSConfig
 
 
 def level_shapes_for(mesh_shape: Sequence[int], strides: Sequence[int]):
-    return [tuple(int(m) // s for m in mesh_shape) for s in strides]
+    """Feature shapes per FPN level: SAME-padded stride-2 stacks produce
+    ceil-divided spatial dims."""
+    return [tuple(-(-int(m) // s) for m in mesh_shape) for s in strides]
 
 
 # ---------------------------------------------------------------------------
