@@ -92,6 +92,10 @@ def rotate_and_scale(
     centres rotated by R/scale about the grid centre.
     """
     res = rgbsigma.shape[:3]
+    # native C++ path: zero-allocation streaming resample (8x fewer
+    # full-volume temporaries than the numpy fallback)
+    from nerf_rpn_tpu import native
+
     xform = np.array(
         [
             [np.cos(angle), -np.sin(angle), 0],
@@ -101,14 +105,18 @@ def rotate_and_scale(
         np.float32,
     ) * scale
 
-    axes = [np.linspace(-1, 1, r, dtype=np.float32) * r / 2 for r in res]
-    grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)  # (W, L, H, 3)
-    grid = grid @ xform.T
-    # centred coords -> voxel coords (align_corners=True convention)
-    src = np.empty_like(grid)
-    for a in range(3):
-        src[..., a] = (grid[..., a] / (res[a] / 2) + 1) / 2 * (res[a] - 1)
-    out = _trilinear_sample(rgbsigma, src)
+    out = native.rotate_scale_resample(
+        np.ascontiguousarray(rgbsigma, np.float32), float(angle), float(scale)
+    )
+    if out is None:
+        axes = [np.linspace(-1, 1, r, dtype=np.float32) * r / 2 for r in res]
+        grid = np.stack(np.meshgrid(*axes, indexing="ij"), axis=-1)
+        grid = grid @ xform.T
+        # centred coords -> voxel coords (align_corners=True convention)
+        src = np.empty_like(grid)
+        for a in range(3):
+            src[..., a] = (grid[..., a] / (res[a] / 2) + 1) / 2 * (res[a] - 1)
+        out = _trilinear_sample(rgbsigma, src)
 
     if boxes is not None:
         boxes = boxes.copy()

@@ -20,6 +20,13 @@ Design:
 The pure-jnp fallback (``window_attention_reference``) defines the
 semantics; the kernel is tested for exact agreement (interpret mode on CPU,
 compiled on TPU).
+
+Measured result (v5e, Swin-S stage-1 shapes W=2197 H=3 N=64 D=32): the
+kernel runs correct but ~1.8x SLOWER than XLA's fused batched-einsum path —
+at 64-token windows XLA's fusion already keeps the attention tile on-chip
+and pipelines better than this hand-written grid.  The models therefore
+default to the jnp path; the kernel stays as the optimisation harness for
+larger windows / future fused-QKV variants.
 """
 
 from __future__ import annotations
