@@ -284,25 +284,25 @@ class Trainer:
         if self.state is None:
             self.init_state(1)
         eval_step = make_rpn_eval_step(self.model, self.cfg_test, shape, STRIDES)
-        batch = {
-            "grids": jnp.asarray(
-                np.random.default_rng(0).standard_normal((1, *shape, 4)),
-                jnp.float32),
-            "ori_sizes": jnp.asarray([[200, 200, 130]], jnp.int32),
-        }
-        out = eval_step(self.state, batch)
-        jax.block_until_ready(out)
-        for _ in range(warmup - 1):
-            jax.block_until_ready(eval_step(self.state, batch))
-        times = []
-        for _ in range(reps):
-            t0 = time.perf_counter()
-            jax.block_until_ready(eval_step(self.state, batch))
-            times.append((time.perf_counter() - t0) * 1e3)
-        self.logger.info(
-            f"Average inference time: {np.mean(times):.4f} ms, "
-            f"std: {np.std(times):.4f} ms")
-        return float(np.mean(times))
+        grids = jnp.asarray(
+            np.random.default_rng(0).standard_normal((1, *shape, 4)),
+            jnp.float32)
+        ori = jnp.asarray([[200, 200, 130]], jnp.int32)
+
+        @jax.jit
+        def step(state, grids, ori, carry):
+            out = eval_step(state, {"grids": grids + carry * 1e-20,
+                                    "ori_sizes": ori})
+            return jnp.sum(out["scores"])
+
+        from nerf_rpn_tpu.utils.profiling import benchmark_fn
+
+        mean_s = benchmark_fn(
+            lambda carry: step(self.state, grids, ori, carry),
+            warmup=warmup, reps=reps)
+        self.logger.info(f"Average inference time: {mean_s * 1e3:.4f} ms "
+                         f"({1.0 / mean_s:.2f} scenes/sec)")
+        return mean_s * 1e3
 
 
 def main(argv=None):
@@ -317,9 +317,18 @@ def main(argv=None):
     if args.mode == "train":
         trainer.train_loop()
     elif args.mode == "eval":
-        _, _, test_set = common.build_datasets(args, "eval", augment=False)
         trainer.init_state(1)
-        trainer.eval(test_set)
+        if args.output_all:
+            # proposals for train/val/test alike (reference --output_all)
+            train_set, val_set, _ = common.build_datasets(args, "train",
+                                                          augment=False)
+            _, _, test_set = common.build_datasets(args, "eval", augment=False)
+            for ds in (train_set, val_set, test_set):
+                if ds is not None and len(ds):
+                    trainer.eval(ds)
+        else:
+            _, _, test_set = common.build_datasets(args, "eval", augment=False)
+            trainer.eval(test_set)
     else:
         trainer.benchmark()
 

@@ -218,7 +218,8 @@ class Trainer:
         for epoch in range(1, args.num_epochs + 1):
             for i, batch in enumerate(self._batches(train_set, True, seed=epoch)):
                 key, sub = jax.random.split(key)
-                self.state, metrics = train_step(self.state, batch, sub)
+                arrays = {k: v for k, v in batch.items() if k != "names"}
+                self.state, metrics = train_step(self.state, arrays, sub)
                 if i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
                     self.logger.info(
@@ -246,7 +247,8 @@ class Trainer:
         scores_list, labels_list = [], []
         refined_list, gt_list, names = [], [], []
         for batch in self._batches(dataset):
-            out = eval_step(self.state, batch)
+            arrays = {k: v for k, v in batch.items() if k != "names"}
+            out = eval_step(self.state, arrays)
             probs = np.asarray(out["scores"])   # (B, R, 2)
             labels = np.asarray(out["labels"])
             valid = np.asarray(out["valid"])
