@@ -31,6 +31,19 @@ from nerf_rpn_tpu.evaluation.metrics import (
 )
 
 
+def enable_compilation_cache(path: str = "/tmp/jax_bench_cache"):
+    """Persistent XLA compile cache — repeat runs (and repeat shapes within
+    a run) skip recompiles; on this image's tunneled TPU a cold compile can
+    cost minutes."""
+    import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+    except Exception:
+        pass
+
+
 def setup_logger(save_path: str = "", log_to_file: bool = False,
                  name: str = "nerf_rpn_tpu") -> logging.Logger:
     logger = logging.getLogger(name)

@@ -103,6 +103,7 @@ def parse_args(argv=None):
 
 class Trainer:
     def __init__(self, args):
+        common.enable_compilation_cache()
         self.args = args
         self.logger = common.setup_logger(args.save_path, args.log_to_file, "run_rpn")
         self.wandb = common.maybe_wandb(args)

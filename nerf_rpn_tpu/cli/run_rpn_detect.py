@@ -102,6 +102,7 @@ def parse_args(argv=None):
 
 class Trainer:
     def __init__(self, args):
+        common.enable_compilation_cache()
         self.args = args
         if args.save_root and not args.save_path:
             args.save_path = os.path.join(args.save_root, "rcnn")
