@@ -230,13 +230,45 @@ class Trainer:
 
     # -- eval ---------------------------------------------------------------
 
+    def _save_results(self, names, out, levels_list, offset):
+        """Dump FPN level features + RoIs for the RCNN stage (reference
+        ``--save_results``, ``run_rpn.py:485-505``): features as flattened
+        (C, X, Y, Z) object arrays + per-scene proposals/level_indices."""
+        args = self.args
+        root = args.save_results_path or os.path.join(args.save_path, "results")
+        feat_dir = os.path.join(root, "features")
+        roi_dir = os.path.join(root, "proposals")
+        os.makedirs(feat_dir, exist_ok=True)
+        os.makedirs(roi_dir, exist_ok=True)
+        feats = [np.asarray(f) for f in out["features"]]
+        boxes = np.asarray(out["boxes"])
+        scores_v = np.asarray(out["valid"])
+        for i, name in enumerate(names):
+            # channels-last -> the reference's (C, X, Y, Z) dump layout
+            per_level = [np.moveaxis(f[i], -1, 0) for f in feats]
+            np.savez(
+                os.path.join(feat_dir, f"{name}.npz"),
+                level_features=np.array(
+                    [f.reshape(-1).astype(object) for f in per_level],
+                    dtype=object),
+                resolution=np.array([f.shape for f in per_level]),
+            )
+            v = scores_v[i]
+            np.savez(
+                os.path.join(roi_dir, f"{name}.npz"),
+                proposals=boxes[i][v][:, : self.box_dim],
+                level_indices=levels_list[offset + i],
+            )
+
     def eval(self, dataset, write_json=True):
         args = self.args
-        eval_step = self._eval_steps.get(self.mesh_shape)
+        key = (self.mesh_shape, args.save_results)
+        eval_step = self._eval_steps.get(key)
         if eval_step is None:
             eval_step = make_rpn_eval_step(
-                self.model, self.cfg_test, self.mesh_shape, STRIDES)
-            self._eval_steps[self.mesh_shape] = eval_step
+                self.model, self.cfg_test, self.mesh_shape, STRIDES,
+                return_features=args.save_results)
+            self._eval_steps[key] = eval_step
         proposals_list, scores_list, levels_list = [], [], []
         gt_boxes_list, scenes_list = [], []
         have_gt = True
@@ -263,6 +295,9 @@ class Trainer:
                         args.save_path, name,
                         [np.asarray(v[i]) for v in out["voxel_scores"]],
                         batch["ori_sizes"][i], STRIDES)
+            if args.save_results:
+                self._save_results(names, out, levels_list,
+                                   len(scenes_list) - len(names))
         if args.output_proposals:
             common.output_proposals_npz(
                 args.save_path, scenes_list, proposals_list, scores_list,

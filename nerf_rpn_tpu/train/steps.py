@@ -79,8 +79,13 @@ def make_rpn_train_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32
     return train_step, counts
 
 
-def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32)):
-    """Returns eval_step(state, batch) -> proposals dict (fixed shapes)."""
+def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
+                       strides=(4, 8, 16, 32), return_features=False):
+    """Returns eval_step(state, batch) -> proposals dict (fixed shapes).
+
+    ``return_features`` additionally returns the FPN pyramid (the reference's
+    ``--save_results`` dump feeding the RCNN stage, ``run_rpn.py:485-505``).
+    """
     shapes = level_shapes_for(mesh_shape, strides)
     anchors_np, _, level_strides, counts = rpn_lib.build_level_tables(
         cfg, mesh_shape, shapes
@@ -105,6 +110,8 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32)
             padding_mask=padding,
         )
         out["voxel_scores"] = rpn_lib.voxel_objectness_scores(logits[: len(shapes)])
+        if return_features:
+            out["features"] = [f.astype(jnp.float32) for f in feats[: len(shapes)]]
         return out
 
     return eval_step

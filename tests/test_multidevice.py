@@ -1,0 +1,103 @@
+"""SPMD equivalence: the same step on 1 vs 8 devices gives the same numbers.
+
+The jax analogue of 'test multi-node without a cluster' (SURVEY 4): batches
+sharded over a virtual 8-CPU-device mesh must produce the same losses and
+proposals as the single-device run — XLA inserts the cross-device reductions
+and they must match the unsharded math.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
+from nerf_rpn_tpu.models.rpn import RPNConfig
+from nerf_rpn_tpu.parallel.mesh import DATA_AXIS, make_mesh
+from nerf_rpn_tpu.train.state import create_train_state, make_optimizer
+from nerf_rpn_tpu.train.steps import make_rpn_eval_step, make_rpn_train_step
+
+MESH_SHAPE = (32, 32, 32)
+SIZES = ((8.0,), (16.0,))
+RATIOS = (((1.0, 1.0, 1.0),), ((1.0, 1.0, 1.0),))
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def _setup():
+    model = NeRFRPN(backbone_type="resnet_tiny", resolution=32, conv_depth=1,
+                    num_anchors=1)
+    cfg = RPNConfig(anchor_sizes=SIZES, aspect_ratios=RATIOS,
+                    pre_nms_top_n=64, post_nms_top_n=32)
+    tx, _ = make_optimizer(1e-3, 10)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, *MESH_SHAPE, 4)), tx)
+    rng = np.random.default_rng(0)
+    b = 8
+    grids = rng.uniform(0, 1, (b, *MESH_SHAPE, 4)).astype(np.float32)
+    gt = np.zeros((b, 2, 6), np.float32)
+    for i in range(b):
+        lo = rng.integers(2, 14, (2, 3))
+        gt[i, :, :3] = lo
+        gt[i, :, 3:] = lo + rng.integers(6, 10, (2, 3))
+    batch = {
+        "grids": grids,
+        "ori_sizes": np.full((b, 3), 32, np.int32),
+        "gt_boxes": gt,
+        "gt_mask": np.ones((b, 2), bool),
+    }
+    return model, cfg, state, batch
+
+
+def _run(state, batch, step_fn, devices, key):
+    mesh = make_mesh(devices)
+    with mesh:
+        sh = NamedSharding(mesh, P(DATA_AXIS))
+        repl = NamedSharding(mesh, P())
+        dbatch = {k: jax.device_put(v, sh) for k, v in batch.items()}
+        dstate = jax.device_put(state, repl)
+        return step_fn(dstate, dbatch, key)
+
+
+def test_train_step_1_vs_8_devices():
+    model, cfg, state, batch = _setup()
+    train_step, _ = make_rpn_train_step(model, cfg, MESH_SHAPE, (4, 8))
+    key = jax.random.PRNGKey(1)
+    s1, m1 = _run(state, batch, train_step, jax.devices()[:1], key)
+    s8, m8 = _run(state, batch, train_step, jax.devices()[:8], key)
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-4,
+                                   err_msg=k)
+    # updated parameters agree too (atol: one AdamW update is ~lr-sized and
+    # near-zero gradients can flip sign under cross-device reduction order,
+    # so allow a couple of update quanta)
+    flat1 = jax.tree.leaves(s1.params)
+    flat8 = jax.tree.leaves(s8.params)
+    for a, b in zip(flat1, flat8):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-4)
+
+
+def test_eval_step_1_vs_8_devices():
+    model, cfg, state, batch = _setup()
+    eval_step = make_rpn_eval_step(model, cfg, MESH_SHAPE, (4, 8))
+    batch = {k: v for k, v in batch.items() if k in ("grids", "ori_sizes")}
+
+    def run(devs):
+        mesh = make_mesh(devs)
+        with mesh:
+            sh = NamedSharding(mesh, P(DATA_AXIS))
+            repl = NamedSharding(mesh, P())
+            b = {k: jax.device_put(v, sh) for k, v in batch.items()}
+            return eval_step(jax.device_put(state, repl), b)
+
+    o1 = run(jax.devices()[:1])
+    o8 = run(jax.devices()[:8])
+    np.testing.assert_allclose(np.asarray(o1["scores"]), np.asarray(o8["scores"]),
+                               atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(o1["valid"]), np.asarray(o8["valid"]))
+    np.testing.assert_allclose(np.asarray(o1["boxes"]), np.asarray(o8["boxes"]),
+                               atol=1e-4)
