@@ -36,17 +36,26 @@ def ref_eval():
         inter = whd[..., 0] * whd[..., 1] * whd[..., 2]
         return inter / (v1[:, None] + v2 - inter)
 
+    # purge real/other 'model' modules so eval.py binds to the fakes,
+    # and restore a clean slate afterwards for other test modules
+    for name in [m for m in sys.modules
+                 if m in ("model", "eval") or m.startswith("model.")]:
+        del sys.modules[name]
     fake_pkg = types.ModuleType("model")
     fake_utils = types.ModuleType("model.utils")
     fake_utils.box_iou_3d = box_iou_3d
     fake_utils.print_shape = lambda *a, **k: None
     fake_pkg.utils = fake_utils
-    sys.modules.setdefault("model", fake_pkg)
+    sys.modules["model"] = fake_pkg
     sys.modules["model.utils"] = fake_utils
     sys.path.insert(0, REF)
     import importlib
 
-    return importlib.import_module("eval")
+    mod = importlib.import_module("eval")
+    yield mod
+    for name in [m for m in sys.modules
+                 if m in ("model", "eval") or m.startswith("model.")]:
+        del sys.modules[name]
 
 
 def _random_data(seed, scenes=3, props=40, gts=5):

@@ -87,6 +87,9 @@ def _install_torchvision_shim():
 @pytest.fixture(scope="module")
 def ref_models():
     _install_torchvision_shim()
+    # purge fakes other test modules may have seeded under the 'model' name
+    for name in [m for m in sys.modules if m == "model" or m.startswith("model.")]:
+        del sys.modules[name]
     sys.path.insert(0, REF)
     import importlib
 
