@@ -92,26 +92,38 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
     )
     anchors_per_loc = model.num_anchors
 
+    # two jits, not one: the tunnel AOT compiler is superlinear in program
+    # size, and splitting backbone-forward from proposal-gen cuts a >30 min
+    # monolith compile into two few-minute (and independently cached) units
     @jax.jit
-    def eval_step(state, batch):
+    def forward(state, grids):
         feats, logits, deltas = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
-            batch["grids"],
+            grids,
             train=False,
         )
         obj, dl = rpn_lib.flatten_head_outputs(
             logits[: len(shapes)], deltas[: len(shapes)], cfg.delta_dim
         )
+        vox = rpn_lib.voxel_objectness_scores(logits[: len(shapes)])
+        return feats[: len(shapes)], obj, dl, vox
+
+    @jax.jit
+    def propose(obj, dl, ori_sizes):
         padding = rpn_lib.dynamic_padding_masks(
-            shapes, level_strides, anchors_per_loc, batch["ori_sizes"]
+            shapes, level_strides, anchors_per_loc, ori_sizes
         )
-        out = rpn_lib.generate_proposals(
+        return rpn_lib.generate_proposals(
             cfg, obj, dl, jnp.asarray(anchors_np), counts, mesh_shape,
             padding_mask=padding,
         )
-        out["voxel_scores"] = rpn_lib.voxel_objectness_scores(logits[: len(shapes)])
+
+    def eval_step(state, batch):
+        feats, obj, dl, vox = forward(state, batch["grids"])
+        out = propose(obj, dl, batch["ori_sizes"])
+        out["voxel_scores"] = vox
         if return_features:
-            out["features"] = [f.astype(jnp.float32) for f in feats[: len(shapes)]]
+            out["features"] = [f.astype(jnp.float32) for f in feats]
         return out
 
     return eval_step
@@ -279,21 +291,31 @@ def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
         shapes, cfg.fpn_strides
     )
 
+    # split into two compile units (see make_rpn_eval_step note)
     @jax.jit
-    def eval_step(state, batch):
+    def forward(state, grids):
         variables = {"params": state.params}
         if state.batch_stats:
             variables["batch_stats"] = state.batch_stats
-        feats, cls, reg, ctr = model.apply(variables, batch["grids"], train=False)
+        feats, cls, reg, ctr = model.apply(variables, grids, train=False)
         cls_f = fcos_lib.flatten_fcos_outputs(cls, 1)
         reg_f = fcos_lib.flatten_fcos_outputs(reg, cfg.reg_dim)
         ctr_f = fcos_lib.flatten_fcos_outputs(ctr, 1)
-        padding = fcos_lib.fcos_padding_mask(loc, batch["ori_sizes"])
-        out = fcos_lib.fcos_inference(
+        vox = fcos_lib.fcos_voxel_scores(cls, ctr)
+        return cls_f, reg_f, ctr_f, vox
+
+    @jax.jit
+    def propose(cls_f, reg_f, ctr_f, ori_sizes):
+        padding = fcos_lib.fcos_padding_mask(loc, ori_sizes)
+        return fcos_lib.fcos_inference(
             cfg, cls_f, reg_f, ctr_f, jnp.asarray(loc), counts,
-            batch["ori_sizes"], padding_mask=padding,
+            ori_sizes, padding_mask=padding,
         )
-        out["voxel_scores"] = fcos_lib.fcos_voxel_scores(cls, ctr)
+
+    def eval_step(state, batch):
+        cls_f, reg_f, ctr_f, vox = forward(state, batch["grids"])
+        out = propose(cls_f, reg_f, ctr_f, batch["ori_sizes"])
+        out["voxel_scores"] = vox
         return out
 
     return eval_step
