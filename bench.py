@@ -74,11 +74,17 @@ def main():
     )
     eval_step = make_rpn_eval_step(model, cfg, SHAPE)
 
-    @jax.jit
+    # keep the forward / proposal-gen compile units separate (eval_step is
+    # already two jits; wrapping it in an outer jit would re-inline them
+    # into one monolith the tunnel compiler chews on for >30 min)
+    perturb = jax.jit(lambda g, c: g + c * 1e-20)
+    summarize = jax.jit(
+        lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9
+    )
+
     def step(state, grids, ori_sizes, carry):
-        batch = {"grids": grids + carry * 1e-20, "ori_sizes": ori_sizes}
-        out = eval_step(state, batch)
-        return jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9
+        batch = {"grids": perturb(grids, carry), "ori_sizes": ori_sizes}
+        return summarize(eval_step(state, batch))
 
     ori = jnp.asarray([[200, 200, 130]], jnp.int32)
     carry = jnp.zeros((), jnp.float32)

@@ -325,11 +325,14 @@ class Trainer:
             jnp.float32)
         ori = jnp.asarray([[200, 200, 130]], jnp.int32)
 
-        @jax.jit
+        # eval_step is two compile units; don't re-wrap it in an outer jit
+        perturb = jax.jit(lambda g, c: g + c * 1e-20)
+        summarize = jax.jit(lambda out: jnp.sum(out["scores"]))
+
         def step(state, grids, ori, carry):
-            out = eval_step(state, {"grids": grids + carry * 1e-20,
+            out = eval_step(state, {"grids": perturb(grids, carry),
                                     "ori_sizes": ori})
-            return jnp.sum(out["scores"])
+            return summarize(out)
 
         from nerf_rpn_tpu.utils.profiling import benchmark_fn
 
