@@ -46,8 +46,24 @@ def restore_checkpoint(state, path: str, backbone_only: bool = False,
 
     ``backbone_only`` keeps only params whose top-level key is 'backbone'
     (reference ``--load_backbone_only``, ``run_rpn.py:183-191``).
+
+    Also accepts ``.msgpack`` files produced by
+    ``tools/convert_weights.py`` (converted reference torch checkpoints,
+    containing {params, batch_stats}).
     """
     path = os.path.abspath(path)
+    if path.endswith(".msgpack"):
+        from flax.serialization import msgpack_restore
+
+        with open(path, "rb") as f:
+            variables = msgpack_restore(f.read())
+        params = variables["params"]
+        batch_stats = variables.get("batch_stats") or state.batch_stats
+        if backbone_only:
+            merged = dict(state.params)
+            merged["backbone"] = params["backbone"]
+            return state.replace(params=merged)
+        return state.replace(params=params, batch_stats=batch_stats)
     with ocp.StandardCheckpointer() as ckptr:
         target = jax.tree.map(np.asarray, _to_saveable(state))
         restored = ckptr.restore(path, target=target)
