@@ -30,12 +30,15 @@ NEG_INF = -1e10
 
 
 def pairwise_iou(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
-    """(M, 6|7) x (N, 6|7) -> (M, N); dispatches AABB vs rotated OBB."""
+    """(M, 6|7) x (N, 6|7) -> (M, N); dispatches AABB vs rotated OBB.
+
+    The OBB branch uses the structure-of-arrays formulation — full-tile VPU
+    ops with no sub-lane axes (see ``ops/rotated_iou_pairwise.py``)."""
     if boxes1.shape[-1] == 6:
         return pairwise_iou_aabb(boxes1, boxes2)
-    b1 = jnp.broadcast_to(boxes1[:, None, :], (boxes1.shape[0], boxes2.shape[0], 7))
-    b2 = jnp.broadcast_to(boxes2[None, :, :], (boxes1.shape[0], boxes2.shape[0], 7))
-    return iou_rotated_3d(b1, b2)
+    from nerf_rpn_tpu.ops.rotated_iou_pairwise import pairwise_iou_rotated_3d_soa
+
+    return pairwise_iou_rotated_3d_soa(boxes1, boxes2)
 
 
 def pairwise_iou_chunked(boxes1: jax.Array, boxes2: jax.Array, chunk: int = 128) -> jax.Array:
