@@ -2,13 +2,12 @@
 
 The reference runs a python while-loop over score-sorted boxes with a
 per-step IoU call (``model/utils.py:215-230``) — O(N) host iterations with a
-device sync each.  Here suppression runs as a **block scan**: boxes are
-score-sorted, processed in blocks of 128; within a block a short unrolled
-loop resolves intra-block suppression on a (128, 128) tile in VMEM, then one
-wide vector op suppresses everything later.  This is bit-identical to the
-greedy sequential keep-set (a box is suppressed iff an earlier *kept* box
-overlaps it) but does ~N/128 wide HBM passes instead of N, and IoU rows are
-computed on the fly — the full (N, N) matrix is never materialised.
+device sync each.  Here the greedy keep-set is computed as a **bitmask
+fixpoint** (see ``nms_mask``): build the packed suppression DAG once with
+on-the-fly IoU, then sweep ``alive <- valid & ~any(suppressor alive)`` to
+convergence.  Bit-identical to sequential greedy NMS (a box is suppressed
+iff an earlier *kept* box overlaps it), with suppression-chain-depth device
+sweeps instead of N host steps, and no materialised (N, N) float matrix.
 
 Everything returns masks / padded index arrays so callers stay jit-static.
 ``category`` reproduces ``batched_nms`` (``model/utils.py:233-265``):
@@ -23,7 +22,6 @@ import jax
 import jax.numpy as jnp
 
 from nerf_rpn_tpu.ops.aabb import pairwise_iou_aabb
-from nerf_rpn_tpu.ops.rotated_iou import iou_rotated_3d
 from nerf_rpn_tpu.ops.topk import safe_top_k
 
 NEG_INF = -1e10
