@@ -151,6 +151,9 @@ class Trainer:
             dataset, self.args.batch_size, shuffle=shuffle, seed=seed,
             pad_multiple=self.args.pad_multiple, max_gt=self.args.max_gt,
             box_dim=self.box_dim, fixed_shape=self.mesh_shape,
+            # drop ragged trailing train batches: a different batch dim
+            # would force a fresh (minutes-long) compile
+            drop_last=shuffle,
             process_index=jax.process_index(), process_count=jax.process_count())
 
     def train_loop(self):
