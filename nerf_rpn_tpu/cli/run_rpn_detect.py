@@ -212,7 +212,8 @@ class Trainer:
         rois_per_image = max(1, args.cls_batch_size // args.batch_size)
         train_step = make_rcnn_train_step(
             self.head, self.cfg, self.spatial_scales, rois_per_image,
-            backbone=self.backbone)
+            backbone=self.backbone, reg_loss_weight=args.reg_loss_weight,
+            obj_only=args.obj_only)
         os.makedirs(args.save_path, exist_ok=True)
         key = jax.random.PRNGKey(args.seed)
         best = None

@@ -173,10 +173,12 @@ def make_fcos_train_step(model, cfg: FCOSConfig, mesh_shape):
 
 
 def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
-                         backbone=None):
+                         backbone=None, reg_loss_weight=1.0, obj_only=False):
     """RCNN second stage (reference ``Classification_Model.forward`` +
     ``train_epoch``, ``run_rpn_detect.py:342``).  ``backbone`` is the
-    optional fine-tune feature extractor applied to raw grids."""
+    optional fine-tune feature extractor applied to raw grids;
+    ``reg_loss_weight``/``obj_only`` mirror the driver's loss combination
+    (``run_rpn_detect.py:358-362``)."""
     import jax.random as jrandom
 
     from nerf_rpn_tpu.models import detector as det
@@ -226,7 +228,13 @@ def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
                 sampled["boxes"].reshape(-1, cfg.box_dim),
                 sampled["valid"].reshape(-1),
             )
-            total = losses["loss_objectness"] + losses["loss_rpn_box_reg"]
+            losses["loss_rpn_box_reg"] = (
+                losses["loss_rpn_box_reg"] * reg_loss_weight
+            )
+            if obj_only:
+                total = losses["loss_objectness"]
+            else:
+                total = losses["loss_objectness"] + losses["loss_rpn_box_reg"]
             new_bs = mutated.get("batch_stats", state.batch_stats)
             return total, (losses, new_bs)
 
