@@ -185,6 +185,24 @@ class Trainer:
                 step=jnp.zeros((), jnp.int32), params=hvars["params"],
                 batch_stats=FrozenDict(), opt_state=tx.init(hvars["params"]),
                 tx=tx)
+        if self.args.pretrained and self.backbone is not None:
+            # initialise the fine-tune backbone from a stage-1 checkpoint
+            # (reference --pretrained, run_rpn_detect.py:279-300)
+            try:
+                raw = ckpt_lib.load_raw_checkpoint(self.args.pretrained)
+                params = dict(self.state.params)
+                params["backbone"] = raw["params"]["backbone"]
+                # stage-1 batch_stats nest under 'backbone'; the fine-tune
+                # state's stats are the backbone's own tree
+                bs = (raw.get("batch_stats") or {}).get("backbone")
+                self.state = self.state.replace(
+                    params=params,
+                    batch_stats=bs if bs else self.state.batch_stats)
+                self.logger.info(
+                    f"Loaded pretrained backbone {self.args.pretrained}")
+            except Exception as e:
+                self.logger.warning(
+                    f"Could not load pretrained backbone: {e}")
         if self.args.checkpoint:
             self.state = ckpt_lib.restore_checkpoint(self.state, self.args.checkpoint)
             self.logger.info(f"Loaded checkpoint {self.args.checkpoint}")

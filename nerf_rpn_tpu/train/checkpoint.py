@@ -79,6 +79,20 @@ def restore_checkpoint(state, path: str, backbone_only: bool = False,
     )
 
 
+def load_raw_checkpoint(path: str) -> dict:
+    """Load a checkpoint as a raw pytree dict (orbax dir or .msgpack) without
+    needing a structure template — for partial restores like
+    ``--pretrained`` backbone transfer."""
+    path = os.path.abspath(path)
+    if path.endswith(".msgpack"):
+        from flax.serialization import msgpack_restore
+
+        with open(path, "rb") as f:
+            return msgpack_restore(f.read())
+    with ocp.StandardCheckpointer() as ckptr:
+        return ckptr.restore(path)
+
+
 def delete_old_checkpoints(save_path: str, keep_latest: int = 5):
     ckpts = sorted(glob.glob(os.path.join(save_path, "epoch_*")),
                    key=os.path.getmtime)
