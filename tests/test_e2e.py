@@ -224,3 +224,35 @@ def test_run_rpn_cli_train_and_eval(synth_dataset_dir, tmp_path):
     assert recalls is not None
     assert os.path.isfile(save / "eval.json")
     assert os.path.isfile(save / "proposals" / "scene3.npz")
+
+
+def test_freeze_backbone_updates_head_only():
+    """--freeze_backbone: optax.multi_transform zeroes backbone updates."""
+    from nerf_rpn_tpu.cli import run_rpn
+    from nerf_rpn_tpu.train.steps import make_rpn_train_step
+
+    args = run_rpn.parse_args([
+        "--mode", "train", "--backbone_type", "resnet_tiny",
+        "--resolution", "32", "--rpn_head_conv_depth", "1",
+        "--freeze_backbone", "--pad_multiple", "32"])
+    trainer = run_rpn.Trainer(args)
+    trainer.init_state(10)
+    step, _ = make_rpn_train_step(trainer.model, trainer.cfg_train,
+                                  (32, 32, 32), (4, 8))
+    batch = {
+        "grids": np.random.default_rng(0).uniform(
+            0, 1, (1, 32, 32, 32, 4)).astype(np.float32),
+        "ori_sizes": np.asarray([[32, 32, 32]], np.int32),
+        "gt_boxes": np.asarray([[[4, 4, 4, 16, 16, 16]]], np.float32),
+        "gt_mask": np.ones((1, 1), bool),
+    }
+    before = jax.tree.map(lambda x: np.asarray(x).copy(), trainer.state.params)
+    s2, _ = step(trainer.state, batch, jax.random.PRNGKey(0))
+    for a, b in zip(jax.tree.leaves(before["backbone"]),
+                    jax.tree.leaves(s2.params["backbone"])):
+        np.testing.assert_array_equal(a, np.asarray(b))
+    head_changed = any(
+        not np.array_equal(a, np.asarray(b))
+        for a, b in zip(jax.tree.leaves(before["rpn_head"]),
+                        jax.tree.leaves(s2.params["rpn_head"])))
+    assert head_changed
