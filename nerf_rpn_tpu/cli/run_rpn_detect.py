@@ -32,7 +32,7 @@ from nerf_rpn_tpu.models.detector import RCNNConfig, RCNNHead
 from nerf_rpn_tpu.models.nerf_rpn import build_backbone
 from nerf_rpn_tpu.ops.roi_align import map_rois_to_levels
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
-from nerf_rpn_tpu.train.state import create_train_state, make_optimizer
+from nerf_rpn_tpu.train.state import make_optimizer
 from nerf_rpn_tpu.train.steps import make_rcnn_eval_step, make_rcnn_train_step
 
 

@@ -12,7 +12,6 @@ Parity target: reference ``VGG_FPN`` (``model/feature_extractor.py:278-377``):
 
 from __future__ import annotations
 
-from typing import Sequence
 
 import jax
 import jax.numpy as jnp

@@ -160,6 +160,63 @@ def _pairwise_intersection_area(cx1, cy1, cx2, cy2):
     return jnp.where(count >= 3, area, 0.0)
 
 
+def iou_rotated_3d_pairs_soa(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
+    """(..., 7) x (..., 7) -> (...) elementwise rotated 3D IoU.
+
+    Same SoA clipping chain as the (M, N) pairwise version, broadcast
+    elementwise — used by the NMS candidate-compaction path, which gathers
+    only the pairs whose cheap IoU upper bound clears the threshold (it
+    reshapes its flat pair list to 2-D so the chain runs on full VPU
+    tiles rather than 1-D vectors)."""
+    cx1, cy1 = _corners_1d(boxes1[..., 0], boxes1[..., 1], boxes1[..., 3],
+                           boxes1[..., 4], boxes1[..., 6])
+    cx2, cy2 = _corners_1d(boxes2[..., 0], boxes2[..., 1], boxes2[..., 3],
+                           boxes2[..., 4], boxes2[..., 6])
+    inter_2d = _pairwise_intersection_area(cx1, cy1, cx2, cy2)
+
+    zmin1 = boxes1[..., 2] - boxes1[..., 5] * 0.5
+    zmax1 = boxes1[..., 2] + boxes1[..., 5] * 0.5
+    zmin2 = boxes2[..., 2] - boxes2[..., 5] * 0.5
+    zmax2 = boxes2[..., 2] + boxes2[..., 5] * 0.5
+    z_overlap = jnp.clip(jnp.minimum(zmax1, zmax2) - jnp.maximum(zmin1, zmin2),
+                         0.0)
+    inter_3d = inter_2d * z_overlap
+    v1 = boxes1[..., 3] * boxes1[..., 4] * boxes1[..., 5]
+    v2 = boxes2[..., 3] * boxes2[..., 4] * boxes2[..., 5]
+    return inter_3d / (v1 + v2 - inter_3d)
+
+
+def iou_rotated_3d_upper_bound(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
+    """(M, 7) x (N, 7) -> (M, N) cheap EXACT upper bound on rotated 3D IoU.
+
+    Each OBB is contained in its axis-aligned enclosing box, so the OBB
+    intersection volume is bounded by the AABB intersection volume (and by
+    either box's own volume); IoU = i / (v1 + v2 - i) is monotone in i, so
+    substituting the bounded intersection gives a valid upper bound.  ~30
+    flops/pair vs ~2k for the exact polygon clip — used to gate the clip in
+    the NMS suppression-graph build."""
+    def half_extents(b):
+        c = jnp.abs(jnp.cos(b[:, 6]))
+        s = jnp.abs(jnp.sin(b[:, 6]))
+        return ((b[:, 3] * c + b[:, 4] * s) * 0.5,
+                (b[:, 3] * s + b[:, 4] * c) * 0.5,
+                b[:, 5] * 0.5)
+
+    e1 = half_extents(boxes1)
+    e2 = half_extents(boxes2)
+    inter = None
+    for axis in range(3):
+        c1, h1 = boxes1[:, axis, None], e1[axis][:, None]
+        c2, h2 = boxes2[None, :, axis], e2[axis][None, :]
+        o = jnp.clip(jnp.minimum(c1 + h1, c2 + h2)
+                     - jnp.maximum(c1 - h1, c2 - h2), 0.0)
+        inter = o if inter is None else inter * o
+    v1 = (boxes1[:, 3] * boxes1[:, 4] * boxes1[:, 5])[:, None]
+    v2 = (boxes2[:, 3] * boxes2[:, 4] * boxes2[:, 5])[None, :]
+    inter = jnp.minimum(inter, jnp.minimum(v1, v2))
+    return inter / (v1 + v2 - inter)
+
+
 def pairwise_iou_rotated_3d_soa(boxes1: jax.Array, boxes2: jax.Array) -> jax.Array:
     """(M, 7) x (N, 7) -> (M, N) rotated 3D IoU (z-rotation convention)."""
     a = lambda v: v[:, None]

@@ -8,7 +8,6 @@ SURVEY 2.11, with zero communication code here).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Sequence
 
 import jax

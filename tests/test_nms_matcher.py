@@ -75,6 +75,54 @@ def test_nms_obb_path():
     assert keep.tolist() == [True, False, True]
 
 
+def test_nms_obb_pair_budget_equivalence(rng):
+    """The upper-bound-gated/compacted OBB path (``pair_budget``) must be
+    bit-identical to clipping every pair, including when a chunk overflows
+    the budget and takes the ``lax.cond`` fallback (pair_budget=1)."""
+    n = 192
+    centers = rng.uniform(0, 80, (6, 3))
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, :3] = centers[rng.integers(0, 6, n)] + rng.normal(0, 3, (n, 3))
+    boxes[:, 3:6] = rng.uniform(2, 10, (n, 3))
+    boxes[:, 6] = rng.uniform(-np.pi / 2, np.pi / 2, n)
+    scores = rng.uniform(0, 1, n).astype(np.float32)
+    valid = np.ones(n, bool)
+    valid[-9:] = False
+    ref = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                              jnp.asarray(valid), 0.25, row_chunk=64,
+                              pair_budget=None))
+    for budget in (64, 1):
+        got = np.asarray(nms_mask(jnp.asarray(boxes), jnp.asarray(scores),
+                                  jnp.asarray(valid), 0.25, row_chunk=64,
+                                  pair_budget=budget))
+        np.testing.assert_array_equal(ref, got, err_msg=f"budget={budget}")
+    assert 0 < ref.sum() < valid.sum()
+
+
+def test_rotated_iou_upper_bound_is_valid(rng):
+    """ub >= exact rotated IoU for every pair (within the 1e-3 gating slack)."""
+    from nerf_rpn_tpu.ops.rotated_iou_pairwise import (
+        iou_rotated_3d_upper_bound,
+        pairwise_iou_rotated_3d_soa,
+    )
+
+    n = 96
+    boxes = np.zeros((n, 7), np.float32)
+    boxes[:, :3] = rng.uniform(0, 40, (n, 3))
+    boxes[:, 3:6] = rng.uniform(2, 12, (n, 3))
+    boxes[:, 6] = rng.uniform(-np.pi / 2, np.pi / 2, n)
+    b = jnp.asarray(boxes)
+    iou = np.asarray(pairwise_iou_rotated_3d_soa(b, b))
+    ub = np.asarray(iou_rotated_3d_upper_bound(b, b))
+    assert (iou - ub).max() < 1e-3
+    # axis-aligned boxes: bound is tight
+    boxes[:, 6] = 0.0
+    b = jnp.asarray(boxes)
+    iou = np.asarray(pairwise_iou_rotated_3d_soa(b, b))
+    ub = np.asarray(iou_rotated_3d_upper_bound(b, b))
+    np.testing.assert_allclose(ub, iou, atol=2e-5)
+
+
 def test_topk_after_nms():
     scores = jnp.asarray([0.1, 0.9, 0.5, 0.7])
     keep = jnp.asarray([True, True, False, True])
