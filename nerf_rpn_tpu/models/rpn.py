@@ -327,11 +327,11 @@ def generate_proposals(
         top_s, top_i = safe_top_k(masked, k)
         return bx[top_i], jnp.clip(top_s, 0.0), lv[top_i], top_s > NEG_INF / 2
 
-    # lax.map, NOT vmap: vmap lowers the NMS pair-budget lax.cond to a
-    # select that executes BOTH branches (compacted AND full clip), erasing
-    # the gating win for rotated boxes; scan keeps it single-branch.
-    out_boxes, out_scores, out_levels, out_valid = jax.lax.map(
-        lambda t: nms_one(*t), (boxes, probs, valid, levels)
+    # vmap keeps the batch axis parallel (and mesh-shardable in the CLI's
+    # data-parallel eval); nms_mask is vmap-safe — its candidate rounds are
+    # a while_loop, not a lax.cond that vmap would both-branch.
+    out_boxes, out_scores, out_levels, out_valid = jax.vmap(nms_one)(
+        boxes, probs, valid, levels
     )
     return {
         "boxes": out_boxes,

@@ -67,21 +67,18 @@ def _pack_bits(b: jax.Array) -> jax.Array:
     return jnp.sum(words * powers, axis=-1, dtype=jnp.uint32)
 
 
-def _compact_indices(flat: jax.Array, k_cap: int) -> jax.Array:
-    """Indices of the first ``k_cap`` set bits of ``flat`` (bool (T,), T
-    divisible by 32), padded with the sentinel ``T``.
+def _rank_select(words: jax.Array, pc: jax.Array, csum: jax.Array,
+                 start: jax.Array, k: int, total: int) -> jax.Array:
+    """Indices of the set bits with ranks [start, start+k) in the bit-set
+    packed as ``words`` (uint32), padded with the sentinel ``total``.
 
     Gather-based: TPU scatters serialize per update, so the obvious
-    cumsum+scatter over T elements costs ~5 ns/element; instead pack to
-    uint32 words, exclusive-cumsum the popcounts (T/32 elements), binary
-    search each output slot's word (``searchsorted``), and select the
-    rank-th set bit with a 5-step popcount bisection — all gathers and
-    elementwise ops on (k_cap,) arrays."""
-    total = flat.shape[0]
-    words = _pack_bits(flat)                       # (T/32,) uint32
-    pc = jax.lax.population_count(words).astype(jnp.int32)
-    csum = jnp.cumsum(pc)                          # inclusive, (W,)
-    j = jnp.arange(k_cap, dtype=jnp.int32)
+    cumsum+scatter over all ``total`` elements costs ~5 ns/element; instead
+    the popcounts ``pc`` and their inclusive cumsum ``csum`` locate each
+    rank's word by binary search (``searchsorted``) and a 5-step popcount
+    bisection selects the rank-th set bit within it — all gathers and
+    elementwise ops on (k,) arrays."""
+    j = start + jnp.arange(k, dtype=jnp.int32)
     w = jnp.searchsorted(csum, j, side="right").astype(jnp.int32)
     ws = jnp.minimum(w, words.shape[0] - 1)
     word = words[ws]
@@ -96,6 +93,15 @@ def _compact_indices(flat: jax.Array, k_cap: int) -> jax.Array:
     idx = ws * _WORD + b
     n_cand = csum[-1]
     return jnp.where(j < n_cand, idx, total)
+
+
+def _compact_indices(flat: jax.Array, k_cap: int) -> jax.Array:
+    """Indices of the first ``k_cap`` set bits of ``flat`` (bool (T,), T
+    divisible by 32), padded with the sentinel ``T``."""
+    words = _pack_bits(flat)                       # (T/32,) uint32
+    pc = jax.lax.population_count(words).astype(jnp.int32)
+    csum = jnp.cumsum(pc)                          # inclusive, (W,)
+    return _rank_select(words, pc, csum, jnp.int32(0), k_cap, flat.shape[0])
 
 
 @partial(jax.jit, static_argnames=("row_chunk", "pair_budget"))
@@ -129,14 +135,16 @@ def nms_mask(
             reference's ``iou <= threshold`` keep condition).
         category: optional (N,) int — suppression only within equal values
             (per-FPN-level NMS).
-        pair_budget: OBB path only — per-chunk-row budget of exact polygon
-            clips.  Pairs are first gated by a cheap exact IoU upper bound
-            (enclosing-AABB intersection, see
+        pair_budget: OBB path only — per-round budget of exact polygon clips
+            (``row_chunk * pair_budget`` pairs per round).  Pairs are first
+            gated by a cheap exact IoU upper bound (enclosing-AABB
+            intersection, see
             ``rotated_iou_pairwise.iou_rotated_3d_upper_bound``); surviving
-            pairs are compacted to ``row_chunk * pair_budget`` slots and only
-            those run the ~2k-flop clipping chain.  Chunks that overflow the
-            budget fall back to clipping every pair via ``lax.cond``, so the
-            result NEVER depends on the budget — only the speed does.  ``None``
+            pairs are rank-selected in rounds of the budget and only those
+            run the ~2k-flop clipping chain (one round for typical chunks,
+            more for denser ones — a ``while_loop``, not a ``lax.cond``
+            fallback, so batching via vmap stays efficient).  The result
+            NEVER depends on the budget — only the speed does.  ``None``
             disables gating (always clip all pairs).
 
     Returns:
@@ -182,9 +190,22 @@ def nms_mask(
         cand = base & (ub > iou_threshold - 1e-3)
         flat = cand.reshape(-1)
         total = row_chunk * np_
-        idx = _compact_indices(flat, k_cap)
+        words = _pack_bits(flat)
+        pc = jax.lax.population_count(words).astype(jnp.int32)
+        csum = jnp.cumsum(pc)
+        n_cand = csum[-1]
 
-        def compacted(_):
+        # Clip the candidates in rounds of k_cap (rank-selected); typical
+        # chunks need ONE round, denser ones just take more rounds — exact
+        # for any candidate count, and with no lax.cond this stays efficient
+        # under vmap (which would otherwise execute both branches).
+        def more_rounds(carry):
+            r, _ = carry
+            return r * k_cap < n_cand
+
+        def clip_round(carry):
+            r, ov = carry
+            idx = _rank_select(words, pc, csum, r * k_cap, k_cap, total)
             b1 = blk_boxes[jnp.minimum(idx // np_, row_chunk - 1)]
             b2 = sboxes[jnp.minimum(idx % np_, np_ - 1)]
             # 2-D pair layout: full (8, 128) VPU tiles for the clip chain
@@ -192,14 +213,13 @@ def nms_mask(
             hit = iou_rotated_3d_pairs_soa(
                 b1.reshape(-1, lanes, 7), b2.reshape(-1, lanes, 7)
             ).reshape(k_cap) > iou_threshold
-            ovf = jnp.zeros((total,), bool).at[idx].set(hit, mode="drop")
-            return ovf.reshape(row_chunk, np_)
+            return r + 1, ov.at[idx].set(hit, mode="drop")
 
-        def full(_):
-            return (pairwise_iou(blk_boxes, sboxes) > iou_threshold) & cand
-
-        ov = jax.lax.cond(jnp.sum(flat) <= k_cap, compacted, full, None)
-        return _pack_bits(ov)                                  # (C, Np/32)
+        _, ovf = jax.lax.while_loop(
+            more_rounds, clip_round,
+            (jnp.int32(0), jnp.zeros((total,), bool)),
+        )
+        return _pack_bits(ovf.reshape(row_chunk, np_))         # (C, Np/32)
 
     chunk_args = (
         sboxes.reshape(-1, row_chunk, dim),

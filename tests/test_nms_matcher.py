@@ -77,8 +77,8 @@ def test_nms_obb_path():
 
 def test_nms_obb_pair_budget_equivalence(rng):
     """The upper-bound-gated/compacted OBB path (``pair_budget``) must be
-    bit-identical to clipping every pair, including when a chunk overflows
-    the budget and takes the ``lax.cond`` fallback (pair_budget=1)."""
+    bit-identical to clipping every pair, including when chunks need many
+    rank-select rounds (pair_budget=1)."""
     n = 192
     centers = rng.uniform(0, 80, (6, 3))
     boxes = np.zeros((n, 7), np.float32)
