@@ -112,7 +112,7 @@ def nms_mask(
     iou_threshold: float | jax.Array,
     category: jax.Array | None = None,
     row_chunk: int = 256,
-    pair_budget: int | None = 128,
+    pair_budget: int | None = 8,
 ) -> jax.Array:
     """Greedy NMS keep-mask (exact sequential semantics), bitmask fixpoint.
 
