@@ -31,9 +31,14 @@ from nerf_rpn_tpu.evaluation.metrics import (
 from nerf_rpn_tpu.models.detector import RCNNConfig, RCNNHead
 from nerf_rpn_tpu.models.nerf_rpn import build_backbone
 from nerf_rpn_tpu.ops.roi_align import map_rois_to_levels
+from nerf_rpn_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
 from nerf_rpn_tpu.train.state import make_optimizer
-from nerf_rpn_tpu.train.steps import make_rcnn_eval_step, make_rcnn_train_step
+from nerf_rpn_tpu.train.steps import (
+    make_rcnn_eval_step,
+    make_rcnn_filter_step,
+    make_rcnn_train_step,
+)
 
 
 def parse_args(argv=None):
@@ -109,6 +114,7 @@ class Trainer:
         self.logger = common.setup_logger(args.save_path, args.log_to_file,
                                           "run_rpn_detect")
         self.wandb = common.maybe_wandb(args)
+        self.mesh = make_mesh_for_batch(args.batch_size)
         self.box_dim = 7 if args.rotated_bbox else 6
         self.cfg = RCNNConfig(
             rotated=args.rotated_bbox,
@@ -136,11 +142,19 @@ class Trainer:
         self.spatial_scales = tuple(args.spatial_scale)
         self.state = None
 
-    def _dataset(self, scenes):
+    def _dataset(self, scenes, augment=False):
+        """``augment``: fine-tune train set only (reference passes the
+        rotate/flip/rot_scale probs only to the train dataset,
+        ``run_rpn_detect.py:280-285``)."""
+        a = self.args
         return RPNClassificationDataset(
-            self.args.features_path, self.args.boxes_path, self.args.rois_path,
-            scene_names=scenes, fine_tune=self.args.fine_tune,
-            normalize_density=self.args.normalize_density,
+            a.features_path, a.boxes_path, a.rois_path,
+            scene_names=scenes, fine_tune=a.fine_tune,
+            normalize_density=a.normalize_density,
+            flip_prob=a.flip_prob if augment else 0.0,
+            rotate_prob=a.rotate_prob if augment else 0.0,
+            rot_scale_prob=a.rot_scale_prob if augment else 0.0,
+            seed=a.seed,
         )
 
     def _collate(self, samples):
@@ -208,20 +222,28 @@ class Trainer:
             self.logger.info(f"Loaded checkpoint {self.args.checkpoint}")
 
     def _batches(self, dataset, shuffle=False, seed=0):
+        """Process-sharded batches (the reference's ``DistributedSampler``,
+        ``run_rpn_detect.py:291-295``).  Train (shuffle) drops the ragged
+        trailing batch to keep one compiled batch shape; eval pads it by
+        repeating the last scene and yields the real count."""
         order = np.arange(len(dataset))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
+        order = order[jax.process_index() :: jax.process_count()]
         bs = self.args.batch_size
         for start in range(0, len(order), bs):
             idx = order[start : start + bs]
-            if len(idx) < bs:
-                break
-            yield self._collate([dataset[int(i)] for i in idx])
+            n_real = len(idx)
+            if n_real < bs:
+                if shuffle:
+                    break
+                idx = np.concatenate([idx, np.repeat(idx[-1:], bs - n_real)])
+            yield self._collate([dataset[int(i)] for i in idx]), n_real
 
     def train_loop(self):
         args = self.args
         train_scenes, val_scenes, _ = load_split(args.dataset_split)
-        train_set = self._dataset(train_scenes)
+        train_set = self._dataset(train_scenes, augment=args.fine_tune)
         val_set = self._dataset(val_scenes)
         self.logger.info(f"{len(train_set)} train / {len(val_set)} val scenes")
         steps = max(1, len(train_set) // args.batch_size) * args.num_epochs
@@ -236,9 +258,11 @@ class Trainer:
         key = jax.random.PRNGKey(args.seed)
         best = None
         for epoch in range(1, args.num_epochs + 1):
-            for i, batch in enumerate(self._batches(train_set, True, seed=epoch)):
+            for i, (batch, _) in enumerate(
+                self._batches(train_set, True, seed=epoch)
+            ):
                 key, sub = jax.random.split(key)
-                arrays = {k: v for k, v in batch.items() if k != "names"}
+                arrays = shard_batch(self.mesh, batch)
                 self.state, metrics = train_step(self.state, arrays, sub)
                 if i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -264,35 +288,54 @@ class Trainer:
         eval_step = make_rcnn_eval_step(self.head, self.cfg,
                                         self.spatial_scales,
                                         backbone=self.backbone)
+        # refined proposals are filtered before AP / output (reference
+        # filter_proposals applied at run_rpn_detect.py:495-497)
+        filter_step = make_rcnn_filter_step(
+            self.cfg, args.filter_score_threhold, args.nms_thresh,
+            int(args.filter_num_threhold))
         scores_list, labels_list = [], []
-        refined_list, gt_list, names = [], [], []
-        for batch in self._batches(dataset):
-            arrays = {k: v for k, v in batch.items() if k != "names"}
+        refined_list, filt_scores_list, gt_list, names = [], [], [], []
+        for batch, n_real in self._batches(dataset):
+            arrays = shard_batch(self.mesh, batch)
             out = eval_step(self.state, arrays)
+            # "mesh size" for clipping: level-0 feature shape x stride-4
+            # scale (grid shape x scale in fine-tune, reproducing the
+            # reference's degenerate fine-tune sizes, run_rpn_detect.py:495)
+            mesh_sizes = (
+                batch["feat_shapes"] * self.spatial_scales[0]
+            ).astype(np.float32)
+            fboxes, keep, order = filter_step(
+                out["refined_boxes"], out["scores"], out["valid"],
+                jnp.asarray(mesh_sizes))
             probs = np.asarray(out["scores"])   # (B, R, 2)
             labels = np.asarray(out["labels"])
             valid = np.asarray(out["valid"])
-            refined = np.asarray(out["refined_boxes"])
-            for i in range(probs.shape[0]):
+            fboxes = np.asarray(fboxes)
+            keep, order = np.asarray(keep), np.asarray(order)
+            for i in range(n_real):
                 v = valid[i]
+                # classification metrics over all valid rois (unfiltered)
                 scores_list.append(probs[i][v][:, 1])
                 labels_list.append(labels[i][v].astype(np.int32))
-                refined_list.append(refined[i][v])
+                # AP over the filtered set, score-descending
+                ranked = order[i][keep[i][order[i]]]
+                refined_list.append(fboxes[i][ranked][:, : self.box_dim])
+                filt_scores_list.append(probs[i][ranked][:, 1])
                 gt_list.append(batch["gt_boxes"][i][batch["gt_mask"][i]])
                 names.append(batch["names"][i])
         cls = evaluate_classification(scores_list, labels_list, 0.5)
         self.logger.info(
             f"cls precision {cls['precision']:.4f} accuracy {cls['accuracy']:.4f} "
             f"precision@100 {cls['precision_100']:.4f}")
-        ap25 = evaluate_box_proposals_ap(refined_list, scores_list, gt_list,
-                                         0.25, args.top_k)
-        ap50 = evaluate_box_proposals_ap(refined_list, scores_list, gt_list,
-                                         0.5, args.top_k)
+        ap25 = evaluate_box_proposals_ap(refined_list, filt_scores_list,
+                                         gt_list, 0.25, args.top_k)
+        ap50 = evaluate_box_proposals_ap(refined_list, filt_scores_list,
+                                         gt_list, 0.5, args.top_k)
         self.logger.info(f"AP@25 {ap25['ap']:.4f}  AP@50 {ap50['ap']:.4f}")
         if args.output_proposals:
             common.output_proposals_npz(
-                args.save_path, names, refined_list, scores_list, gt_list,
-                args.filter, args.filter_threshold)
+                args.save_path, names, refined_list, filt_scores_list,
+                gt_list, args.filter, args.filter_threshold)
         return cls["accuracy"]
 
 

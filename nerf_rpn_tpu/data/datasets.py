@@ -216,8 +216,14 @@ class RPNClassificationDataset:
 
     def __init__(self, features_path: str, boxes_path: str, roi_path: str,
                  scene_names: Optional[Sequence[str]] = None,
-                 fine_tune: bool = False, normalize_density: bool = True):
+                 fine_tune: bool = False, normalize_density: bool = True,
+                 flip_prob: float = 0.0, rotate_prob: float = 0.0,
+                 rot_scale_prob: float = 0.0, seed: int = 0):
         self.fine_tune = fine_tune
+        self.flip_prob = flip_prob
+        self.rotate_prob = rotate_prob
+        self.rot_scale_prob = rot_scale_prob
+        self.rng = np.random.default_rng(seed)
         if scene_names is None:
             scene_names = sorted(
                 f[: -len(".npz")]
@@ -268,6 +274,19 @@ class RPNClassificationDataset:
 
     def __getitem__(self, idx):
         scene, features, boxes, proposals, levels = self.scene_data[idx]
+        if self.fine_tune and (
+            self.flip_prob > 0 or self.rotate_prob > 0 or self.rot_scale_prob > 0
+        ):
+            # fine-tune augmentation (reference ``datasets.py:410-426``):
+            # augment the raw grid and (gt U rois) JOINTLY with the stage-1
+            # transform, then split back; level indices are untouched.
+            n_gt = boxes.shape[0]
+            joint = np.concatenate([boxes, proposals], axis=0)
+            features, joint = augment_rpn_inputs(
+                features, joint, self.rng,
+                self.flip_prob, self.rotate_prob, self.rot_scale_prob,
+            )
+            boxes, proposals = joint[:n_gt], joint[n_gt:]
         return features, boxes, proposals, levels, scene
 
 
@@ -328,12 +347,20 @@ def collate_classification_batch(
         gt[i, :g] = boxes[:g, :box_dim]
         gt_mask[i, :g] = True
         names.append(name)
+    # per-scene UNPADDED level-0 feature shape (raw grid shape in fine-tune);
+    # x spatial_scale[0] this is the reference's eval-time "mesh size" for
+    # stage-2 proposal filtering (run_rpn_detect.py:495-496)
+    feat_shapes = np.array(
+        [(s[0] if fine_tune else s[0][0]).shape[:3] for s in samples],
+        np.int32,
+    )
     out = {
         "rois": rois,
         "roi_levels": roi_levels,
         "roi_valid": roi_valid,
         "gt_boxes": gt,
         "gt_mask": gt_mask,
+        "feat_shapes": feat_shapes,
         "names": names,
     }
     if fine_tune:

@@ -197,3 +197,58 @@ def rcnn_losses(
         0.0,
     )
     return {"loss_objectness": obj_loss, "loss_rpn_box_reg": box_loss}
+
+
+def filter_refined_proposals(
+    cfg: RCNNConfig,
+    boxes: jax.Array,       # (R, D) refined boxes
+    probs: jax.Array,       # (R, 2) softmax objectness
+    valid: jax.Array,       # (R,) bool
+    mesh_size: jax.Array,   # (3,) float/int grid extent
+    score_threshold: float,
+    nms_threshold: float,
+    num_threshold: int,
+    min_size: float = 1e-3,
+):
+    """Stage-2 eval-time proposal filtering (reference ``filter_proposals``,
+    ``run_rpn_detect.py:403-439``): clip -> remove-small -> score threshold
+    -> NMS -> score-descending cap.  Returns (boxes, keep, rank) where
+    ``keep`` is the post-NMS validity mask (original order) and ``rank``
+    orders kept rows by descending fg score with the ``num_threshold`` cap
+    applied (invalid slots ranked last).
+
+    Deliberate deviations from the reference, documented:
+    - OBB clip: the reference filters boxes by center validity but forgets
+      to filter scores/labels alongside (misalignment); we apply the mask
+      consistently.
+    - Score threshold: the reference's ``torch.where(scores >= t)[0]`` on
+      the (N, 2) softmax keeps rows where EITHER column passes and
+      duplicates rows where both do; duplicates are identical boxes that
+      NMS immediately re-suppresses, so a row mask (any column >= t) yields
+      the same final set for any nms_threshold < 1.
+    - ``num_threshold`` cap: the reference accepts ``--filter_num_threhold``
+      and comments "keep only topk scoring predictions" but never applies
+      it (``run_rpn_detect.py:430-433``); we implement the evident intent
+      (cap kept proposals at num_threshold by descending score).
+    """
+    from nerf_rpn_tpu.ops.aabb import (
+        clip_boxes_to_grid,
+        obb_center_valid_mask,
+        small_box_mask,
+    )
+    from nerf_rpn_tpu.ops.nms import nms_mask
+
+    mesh_size = jnp.asarray(mesh_size, boxes.dtype)
+    if cfg.rotated:
+        valid = valid & obb_center_valid_mask(boxes, mesh_size)
+    else:
+        boxes = clip_boxes_to_grid(boxes, mesh_size)
+    valid = valid & small_box_mask(boxes, min_size)
+    valid = valid & jnp.any(probs >= score_threshold, axis=-1)
+    fg = probs[:, 1]
+    keep = nms_mask(boxes[:, : cfg.box_dim], fg, valid, nms_threshold)
+    # score-descending order over kept rows, capped at num_threshold
+    order = jnp.argsort(jnp.where(keep, -fg, jnp.inf))
+    capped = jnp.arange(boxes.shape[0]) < num_threshold
+    keep = keep & capped[jnp.argsort(order)]
+    return boxes, keep, order

@@ -53,8 +53,11 @@ def shard_batch(mesh: Mesh, batch: dict) -> dict:
     are jitted and only accept arrays; keep host metadata on the host.
     """
     sh = batch_sharding(mesh)
-    return {
-        k: jax.device_put(v, sh)
-        for k, v in batch.items()
-        if hasattr(v, "shape")
-    }
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "shape"):
+            out[k] = jax.device_put(v, sh)
+        elif isinstance(v, (list, tuple)) and v and hasattr(v[0], "shape"):
+            # per-level feature pyramids (stage 2): shard each level array
+            out[k] = type(v)(jax.device_put(x, sh) for x in v)
+    return out

@@ -44,8 +44,11 @@ def make_optimizer(
     clip_grad_norm: float = 0.1,
     pct_start: float = 0.3,
 ) -> tuple[optax.GradientTransformation, optax.Schedule]:
+    # transition_steps >= 4: below that the warmup phase rounds to zero
+    # steps and optax's onecycle divides 0/0 -> NaN lr, which NaNs every
+    # parameter on the first AdamW update (bit us on 1-epoch smoke runs)
     schedule = optax.cosine_onecycle_schedule(
-        transition_steps=max(total_steps, 1),
+        transition_steps=max(total_steps, 4),
         peak_value=lr,
         pct_start=pct_start,
         div_factor=25.0,

@@ -292,6 +292,37 @@ def make_rcnn_eval_step(head_model, cfg, spatial_scales, backbone=None):
     return eval_step
 
 
+def make_rcnn_filter_step(cfg, score_threshold, nms_threshold, num_threshold,
+                          min_size=1e-3):
+    """Stage-2 eval-time proposal filter over a batch (reference
+    ``filter_proposals``, ``run_rpn_detect.py:403-439`` applied at
+    ``:495-497``).  Returns filter_step(boxes, probs, valid, mesh_sizes) ->
+    (boxes, keep, order) with fixed shapes; ``mesh_sizes`` is (B, 3)."""
+    from functools import partial
+
+    from nerf_rpn_tpu.models import detector as det
+
+    @jax.jit
+    def filter_step(boxes, probs, valid, mesh_sizes):
+        fn = partial(
+            det.filter_refined_proposals,
+            cfg,
+            score_threshold=score_threshold,
+            nms_threshold=nms_threshold,
+            num_threshold=num_threshold,
+            min_size=min_size,
+        )
+        # lax.map, not vmap: vmapped NMS turns its while_loops into
+        # worst-case lockstep over the batch (see ops/nms.py notes)
+        return jax.lax.map(
+            lambda args: fn(boxes=args[0], probs=args[1], valid=args[2],
+                            mesh_size=args[3]),
+            (boxes, probs, valid, mesh_sizes),
+        )
+
+    return filter_step
+
+
 def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
     shapes = level_shapes_for(mesh_shape, cfg.fpn_strides)
     loc, level_of, counts, stride_of, soi = fcos_lib.fcos_locations(

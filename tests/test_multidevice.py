@@ -101,3 +101,64 @@ def test_eval_step_1_vs_8_devices():
     np.testing.assert_array_equal(np.asarray(o1["valid"]), np.asarray(o8["valid"]))
     np.testing.assert_allclose(np.asarray(o1["boxes"]), np.asarray(o8["boxes"]),
                                atol=1e-4)
+
+
+def test_rcnn_train_step_1_vs_8_devices():
+    """Stage-2 (RCNN) step sharded over the mesh: same losses + params on
+    1 vs 8 devices (the reference trains stage 2 under DDP,
+    run_rpn_detect.py:209)."""
+    from flax.core import FrozenDict
+
+    from nerf_rpn_tpu.models.detector import RCNNConfig, RCNNHead
+    from nerf_rpn_tpu.train.state import TrainState
+    from nerf_rpn_tpu.train.steps import make_rcnn_train_step
+
+    rng = np.random.default_rng(2)
+    b, r, g = 8, 16, 4
+    level_res = [(8, 8, 8), (4, 4, 4)]
+    feats = [rng.normal(size=(b, *s, 16)).astype(np.float32)
+             for s in level_res]
+    lo = rng.uniform(0, 20, (b, r, 3)).astype(np.float32)
+    rois = np.concatenate([lo, lo + rng.uniform(2, 10, (b, r, 3))], -1)
+    glo = rng.uniform(0, 20, (b, g, 3)).astype(np.float32)
+    gt = np.concatenate([glo, glo + rng.uniform(4, 10, (b, g, 3))], -1)
+    batch = {
+        "features": feats,
+        "rois": rois.astype(np.float32),
+        "roi_levels": rng.integers(0, 2, (b, r)).astype(np.int32),
+        "roi_valid": np.ones((b, r), bool),
+        "gt_boxes": gt.astype(np.float32),
+        "gt_mask": np.ones((b, g), bool),
+    }
+
+    cfg = RCNNConfig(rotated=False, output_size=(2, 2, 2),
+                     fg_threshold=0.3, bg_threshold=0.2)
+    head = RCNNHead(in_channels=16, n_classes=2, flatten=True)
+    tx, _ = make_optimizer(1e-3, 10)
+    hvars = head.init(jax.random.PRNGKey(0), jnp.zeros((1, 2, 2, 2, 16)))
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=hvars["params"],
+                       batch_stats=FrozenDict(), opt_state=tx.init(hvars["params"]),
+                       tx=tx)
+    train_step = make_rcnn_train_step(head, cfg, (4, 8), rois_per_image=8)
+    key = jax.random.PRNGKey(3)
+
+    def run(devs):
+        mesh = make_mesh(devs)
+        with mesh:
+            sh = NamedSharding(mesh, P(DATA_AXIS))
+            repl = NamedSharding(mesh, P())
+            db = {}
+            for k, v in batch.items():
+                if isinstance(v, list):
+                    db[k] = [jax.device_put(x, sh) for x in v]
+                else:
+                    db[k] = jax.device_put(v, sh)
+            return train_step(jax.device_put(state, repl), db, key)
+
+    s1, m1 = run(jax.devices()[:1])
+    s8, m8 = run(jax.devices()[:8])
+    for k in m1:
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-4,
+                                   err_msg=k)
+    for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
