@@ -214,6 +214,10 @@ class Trainer:
                         self.wandb.log({"loss": metrics["loss"],
                                         "objectness_loss": metrics["loss_objectness"],
                                         "regression_loss": metrics["loss_rpn_box_reg"],
+                                        # wandb.watch analogue (reference
+                                        # run_rpn.py:238-239)
+                                        "grad_norm": metrics.get("grad_norm"),
+                                        "param_norm": metrics.get("param_norm"),
                                         "epoch": epoch, "iter": step})
                 step += 1
             if jax.process_index() != 0:
@@ -274,7 +278,6 @@ class Trainer:
             self._eval_steps[key] = eval_step
         proposals_list, scores_list, levels_list = [], [], []
         gt_boxes_list, scenes_list = [], []
-        have_gt = True
         for batch in self._batches(dataset, False):
             names = batch["names"]
             gt_mask = batch["gt_mask"]
@@ -291,7 +294,6 @@ class Trainer:
                         batch["gt_boxes"][i][gt_mask[i]][:, : self.box_dim])
                 else:
                     gt_boxes_list.append(np.zeros((0, self.box_dim), np.float32))
-                    have_gt = have_gt and dataset.records[0].boxes_file is not None
             if args.output_voxel_scores:
                 for i, name in enumerate(names):
                     common.output_voxel_scores_npz(

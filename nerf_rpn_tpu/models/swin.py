@@ -223,6 +223,47 @@ class PatchMerging3D(nn.Module):
         return nn.Dense(out, use_bias=False, dtype=self.dtype, name="reduction")(y)
 
 
+class PatchEmbed3D(nn.Module):
+    """4^3 stride-4 patch embed; parameters keep the Conv kernel layout
+    ``(px, py, pz, C_in, C_out)`` so checkpoints/converters are unchanged.
+
+    TPU note: a direct C_in=4 conv is pathological (the 4-lane channel dim
+    gets padded, turning a ~5 GFLOP op into ~4.5 ms of HBM shuffling at
+    208x208x144).  When the spatial dims divide the patch size, the (z, c)
+    dims are regrouped into lanes with a FREE contiguous reshape and the op
+    becomes a (px, py, 1)-kernel conv over C_in = pz*c channels — measured
+    2.3x faster (benchmarks/microbench_pe2.py).  Falls back to the plain
+    conv for indivisible shapes (SAME padding, as before).
+    """
+
+    features: int
+    patch: tuple[int, int, int] = (4, 4, 4)
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        px, py, pz = self.patch
+        b, sx, sy, sz, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (px, py, pz, c, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        if sx % px or sy % py or sz % pz:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=self.patch, padding="SAME",
+                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+        else:
+            x2 = x.reshape(b, sx, sy, sz // pz, pz * c)          # free view
+            k2 = kernel.reshape(px, py, 1, pz * c, self.features)  # free view
+            y = jax.lax.conv_general_dilated(
+                x2.astype(self.dtype), k2.astype(self.dtype),
+                window_strides=(px, py, 1), padding="VALID",
+                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+        return y + bias.astype(self.dtype)
+
+
 class SwinFPN(nn.Module):
     """3D Swin backbone + FPN neck; returns a 4-level, 256-channel pyramid."""
 
@@ -240,8 +281,8 @@ class SwinFPN(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, ...]:
-        y = nn.Conv(self.embed_dim, self.patch_size, strides=self.patch_size,
-                    dtype=self.dtype, name="patch_embed")(x)
+        y = PatchEmbed3D(self.embed_dim, self.patch_size, dtype=self.dtype,
+                         name="patch_embed")(x)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(y)
 
         total_blocks = sum(self.depths)

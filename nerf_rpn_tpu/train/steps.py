@@ -12,6 +12,7 @@ from typing import Sequence
 
 import jax
 import jax.numpy as jnp
+import optax
 
 from nerf_rpn_tpu.models import rpn as rpn_lib
 from nerf_rpn_tpu.models import fcos as fcos_lib
@@ -72,7 +73,12 @@ def make_rpn_train_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads, new_batch_stats=new_bs)
-        metrics = {"loss": total, **losses}
+        # the SPMD analogue of the reference's wandb.watch gradient logging
+        # (run_rpn.py:238-239): global gradient/parameter norms, computed
+        # in-graph (per-parameter histograms would force a full device fetch)
+        metrics = {"loss": total, **losses,
+                   "grad_norm": optax.global_norm(grads),
+                   "param_norm": optax.global_norm(state.params)}
         return state, metrics
 
     return train_step, counts
@@ -166,7 +172,9 @@ def make_fcos_train_step(model, cfg: FCOSConfig, mesh_shape):
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads, new_batch_stats=new_bs)
-        return state, {"loss": total, **losses}
+        return state, {"loss": total, **losses,
+                       "grad_norm": optax.global_norm(grads),
+                       "param_norm": optax.global_norm(state.params)}
 
     return train_step, counts
 
@@ -241,7 +249,9 @@ def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads, new_batch_stats=new_bs)
-        return state, {"loss": total, **losses}
+        return state, {"loss": total, **losses,
+                       "grad_norm": optax.global_norm(grads),
+                       "param_norm": optax.global_norm(state.params)}
 
     return train_step
 

@@ -162,3 +162,62 @@ def test_rcnn_train_step_1_vs_8_devices():
                                    err_msg=k)
     for a, b_ in zip(jax.tree.leaves(s1.params), jax.tree.leaves(s8.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+
+def test_fcos_losses_axis_name_shard_map():
+    """The explicit axis_name psum path in fcos_losses (the reference's
+    in-loss reduce_sum, model/fcos/loss.py:202-208) matches the global
+    (unsharded) loss when each device holds a slice of the batch."""
+    from functools import partial
+
+    from jax.experimental.shard_map import shard_map
+
+    from nerf_rpn_tpu.models.fcos import (
+        FCOSConfig,
+        fcos_locations,
+        fcos_losses,
+    )
+
+    cfg = FCOSConfig(rotated=False)
+    shapes = [(8, 8, 8), (4, 4, 4), (2, 2, 2), (1, 1, 1)]
+    locations, _, counts, stride_of_loc, soi = fcos_locations(
+        shapes, (4, 8, 16, 32))
+    l_total = sum(counts)
+    rng = np.random.default_rng(0)
+    b = 8
+    cls = jnp.asarray(rng.normal(0, 1, (b, l_total, 1)), jnp.float32)
+    reg = jnp.asarray(rng.uniform(0.5, 8, (b, l_total, 6)), jnp.float32)
+    ctr = jnp.asarray(rng.normal(0, 1, (b, l_total, 1)), jnp.float32)
+    gt = np.zeros((b, 2, 6), np.float32)
+    for i in range(b):
+        lo = rng.integers(2, 14, (2, 3))
+        gt[i, :, :3] = lo
+        gt[i, :, 3:] = lo + rng.integers(6, 12, (2, 3))
+    gt = jnp.asarray(gt)
+    gt_mask = jnp.ones((b, 2), bool)
+    args = (jnp.asarray(locations), jnp.asarray(stride_of_loc),
+            jnp.asarray(soi))
+
+    # global (single-device) losses
+    ref = fcos_losses(cfg, cls, reg, ctr, *args, gt, gt_mask)
+
+    mesh = make_mesh(jax.devices()[:8])
+    spec = P(DATA_AXIS)
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(spec, spec, spec, spec, spec),
+        out_specs=P(),
+    )
+    def sharded_losses(cls, reg, ctr, gt, gt_mask):
+        losses = fcos_losses(cfg, cls, reg, ctr, *args, gt, gt_mask,
+                             axis_name=DATA_AXIS)
+        # per-device sums with pmean'd normalisers -> mean over devices
+        # equals the reference's reduce_sum/num_gpus semantics
+        return jax.tree.map(lambda x: jax.lax.pmean(x, DATA_AXIS), losses)
+
+    out = sharded_losses(cls, reg, ctr, gt, gt_mask)
+    for k in ref:
+        np.testing.assert_allclose(
+            np.asarray(out[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-6,
+            err_msg=k)
