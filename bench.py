@@ -1,18 +1,27 @@
-"""Benchmark: anchor-RPN full-inference throughput on one TPU chip.
+"""Benchmarks: full-inference throughput on one TPU chip, plus MFU.
 
-Mirrors the reference latency benchmark (``run_rpn.py:594-617``: 10 warmups
-+ 300 timed eval-mode forwards — including proposal decode + NMS — of the
-anchor RPN on a dummy ``(4, 200, 200, 130)`` grid, single CUDA GPU).  Here
-the same logical workload runs TPU-style: the grid is bucket-padded to
-(208, 208, 144), compute in bfloat16, Swin-S backbone + RPN head + proposal
-generation (per-level top-k, decode, clip, bitmask NMS) all on one chip.
+Mirrors the reference latency benchmarks (``run_rpn.py:594-617``: 10 warmups
++ 300 timed eval-mode forwards — including proposal decode + NMS — on a
+dummy ``(4, 200, 200, 130)`` grid; ``run_fcos.py:537-560``: same on
+``(4, 160^3)``; single CUDA GPU).  Here the same logical workloads run
+TPU-style: grids bucket-padded to multiples of 16, compute in bfloat16,
+backbone + head + proposal generation (per-level top-k, decode, clip,
+bitmask NMS) all on one chip.
+
+Weights are RANDOM (host-generated from the param shapes), not zeros: with
+all-zero weights every objectness logit ties and the top-k/NMS stages see a
+degenerate score distribution, under-representing the data-dependent NMS
+cost.
 
 Timing: iterations are CHAINED (each step's input depends on the previous
 step's output) and only the final scalar is fetched — block_until_ready is
 unreliable through this image's axon tunnel, and each host fetch costs a
-~26 ms TCP round-trip that would otherwise pollute per-step numbers.
+~26 ms TCP round-trip that would otherwise pollute per-step numbers.  A
+throwaway timed loop runs first (the first timed loop in a fresh process
+through the tunnel is unreliable).
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line per metric; the HEADLINE metric (Swin-S anchor RPN
+full-inference throughput, with ``vs_baseline``) is the LAST line.
 ``vs_baseline``: the reference repo publishes no numbers (BASELINE.md); we
 use an assumed A100 reference of 10 scenes/sec (~100 ms/scene) for the
 Swin-S anchor RPN at this resolution, so vs_baseline = value / 10.
@@ -29,89 +38,163 @@ import jax
 import jax.numpy as jnp
 
 WARMUP = 3
-REPS = 30
-SHAPE = (208, 208, 144)  # (200, 200, 130) bucket-padded to multiples of 16
+SHAPE_RPN = (208, 208, 144)   # (200, 200, 130) bucket-padded
+SHAPE_FCOS = (160, 160, 160)
 ASSUMED_A100_SCENES_PER_SEC = 10.0
+
+# peak dense bf16 FLOP/s per chip, for MFU
+PEAK_FLOPS = {
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def random_state(model, sample, seed=0):
+    """TrainState with host-generated random params (no device-side init
+    compile; batch_stats left at ones — benchmarks don't need real stats)."""
+    from flax.core import FrozenDict
+
+    from nerf_rpn_tpu.train.state import TrainState, make_optimizer
+
+    rng = np.random.default_rng(seed)
+    shapes = jax.eval_shape(lambda: model.init(jax.random.PRNGKey(0), sample))
+    params = jax.tree.map(
+        lambda s: jnp.asarray(rng.normal(0, 0.02, s.shape), s.dtype),
+        shapes["params"])
+    bs = shapes.get("batch_stats", FrozenDict())
+    bs = jax.tree.map(lambda s: jnp.ones(s.shape, s.dtype), bs)
+    tx, _ = make_optimizer(1e-3, 10)
+    return TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                      batch_stats=bs, opt_state=None, tx=tx)
+
+
+def timed_chain(step, reps):
+    """Chained-step mean seconds (throwaway first loop, trust the second)."""
+    carry = jnp.zeros((), jnp.float32)
+    for _ in range(WARMUP):
+        carry = step(carry)
+    float(carry)
+    for _ in range(max(reps // 3, 2)):
+        carry = step(carry)
+    float(carry)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        carry = step(carry)
+    float(carry)
+    return (time.perf_counter() - t0) / reps
+
+
+def emit(metric, value, unit, **extra):
+    print(json.dumps({"metric": metric, "value": value, "unit": unit,
+                      **extra}), flush=True)
+
+
+def bench_rpn(backbone, shape, metric, reps, mfu=False, **emit_extra):
+    from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
+    from nerf_rpn_tpu.models.rpn import RPNConfig
+    from nerf_rpn_tpu.train.steps import make_rpn_eval_step
+
+    model = NeRFRPN(backbone_type=backbone, resolution=max(shape),
+                    rotated=False, conv_depth=4, dtype=jnp.bfloat16)
+    cfg = RPNConfig(rotated=False)
+    grids = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, *shape, 4)).astype(np.float32))
+    state = random_state(model, grids[:, :32, :32, :32])
+    eval_step = make_rpn_eval_step(model, cfg, shape)
+
+    perturb = jax.jit(lambda g, c: g + c * 1e-20)
+    summarize = jax.jit(
+        lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9)
+    ori = jnp.asarray([[min(s, o) for s, o in zip(shape, (200, 200, 130))]],
+                      jnp.int32)
+
+    def step(carry):
+        batch = {"grids": perturb(grids, carry), "ori_sizes": ori}
+        return summarize(eval_step(state, batch))
+
+    mean_s = timed_chain(step, reps)
+    emit(metric, round(1.0 / mean_s, 4), "scenes/sec/chip", **emit_extra)
+
+    if mfu:
+        # forward-only time + XLA cost-analysis FLOPs -> model FLOP/s / peak
+        sum_fwd = jax.jit(lambda out: sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree.leaves(out)))
+
+        def fwd_step(carry):
+            return sum_fwd(eval_step.forward(state, perturb(grids, carry)))
+
+        fwd_s = timed_chain(fwd_step, reps)
+        try:
+            ca = eval_step.forward.lower(state, grids).compile().cost_analysis()
+            if isinstance(ca, (list, tuple)):
+                ca = ca[0]
+            flops = float(ca.get("flops", 0.0))
+        except Exception:
+            flops = 0.0
+        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+        if flops and peak:
+            emit(f"{metric}_forward_mfu",
+                 round(flops / fwd_s / peak * 100, 2), "%",
+                 forward_ms=round(fwd_s * 1e3, 3),
+                 forward_tflops=round(flops / 1e12, 3),
+                 device_kind=jax.devices()[0].device_kind)
+
+
+def bench_fcos_rotated(reps):
+    from nerf_rpn_tpu.models.fcos import FCOSConfig
+    from nerf_rpn_tpu.models.nerf_rpn import FCOSOverNeRF
+    from nerf_rpn_tpu.train.steps import make_fcos_eval_step
+
+    model = FCOSOverNeRF(backbone_type="swin_s", resolution=max(SHAPE_FCOS),
+                         rotated=True, dtype=jnp.bfloat16)
+    cfg = FCOSConfig(rotated=True)
+    grids = jnp.asarray(np.random.default_rng(0).uniform(
+        0, 1, (1, *SHAPE_FCOS, 4)).astype(np.float32))
+    state = random_state(model, grids[:, :32, :32, :32])
+    eval_step = make_fcos_eval_step(model, cfg, SHAPE_FCOS)
+    perturb = jax.jit(lambda g, c: g + c * 1e-20)
+    summarize = jax.jit(
+        lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9)
+    ori = jnp.asarray([list(SHAPE_FCOS)], jnp.int32)
+
+    def step(carry):
+        batch = {"grids": perturb(grids, carry), "ori_sizes": ori}
+        return summarize(eval_step(state, batch))
+
+    mean_s = timed_chain(step, reps)
+    emit("swin_s_fcos_rotated_full_inference_throughput",
+         round(1.0 / mean_s, 4), "scenes/sec/chip")
 
 
 def main():
-    # persistent compile cache: repeat bench runs skip the (minutes-long)
-    # tunnel-side compilation
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    from flax.core import FrozenDict
+    bench_rpn("resnet", SHAPE_RPN,
+              "resnet50_anchor_rpn_full_inference_throughput", reps=15)
+    bench_fcos_rotated(reps=10)
 
-    from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
-    from nerf_rpn_tpu.models.rpn import RPNConfig
-    from nerf_rpn_tpu.train.state import TrainState, make_optimizer
-    from nerf_rpn_tpu.train.steps import make_rpn_eval_step
+    # headline: measure, then emit its MFU line first so the throughput
+    # line (with vs_baseline) is LAST on stdout
+    import io
+    import contextlib
 
-    model = NeRFRPN(
-        backbone_type="swin_s",
-        resolution=max(SHAPE),
-        rotated=False,
-        conv_depth=4,
-        dtype=jnp.bfloat16,
-    )
-    cfg = RPNConfig(rotated=False)  # default pre/post NMS top-n 2500
-    grids = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 1, (1, *SHAPE, 4)).astype(np.float32)
-    )
-    # throughput doesn't depend on param values: build zeros from shapes
-    # instead of paying a second large compile for init
-    shapes = jax.eval_shape(
-        lambda: model.init(jax.random.PRNGKey(0), grids[:, :32, :32, :32])
-    )
-    variables = jax.tree.map(lambda s: jnp.zeros(s.shape, s.dtype), shapes)
-    tx, _ = make_optimizer(1e-3, 10)
-    state = TrainState(
-        step=jnp.zeros((), jnp.int32),
-        params=variables["params"],
-        batch_stats=variables.get("batch_stats", FrozenDict()),
-        opt_state=None,
-        tx=tx,
-    )
-    eval_step = make_rpn_eval_step(model, cfg, SHAPE)
-
-    # keep the forward / proposal-gen compile units separate (eval_step is
-    # already two jits; wrapping it in an outer jit would re-inline them
-    # into one monolith the tunnel compiler chews on for >30 min)
-    perturb = jax.jit(lambda g, c: g + c * 1e-20)
-    summarize = jax.jit(
-        lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9
-    )
-
-    def step(state, grids, ori_sizes, carry):
-        batch = {"grids": perturb(grids, carry), "ori_sizes": ori_sizes}
-        return summarize(eval_step(state, batch))
-
-    ori = jnp.asarray([[200, 200, 130]], jnp.int32)
-    carry = jnp.zeros((), jnp.float32)
-    for _ in range(WARMUP):
-        carry = step(state, grids, ori, carry)
-    float(carry)  # compile + warmup barrier
-
-    t0 = time.perf_counter()
-    for _ in range(REPS):
-        carry = step(state, grids, ori, carry)
-    float(carry)  # host fetch waits for the whole chain
-    total = time.perf_counter() - t0
-
-    mean_s = total / REPS
-    scenes_per_sec = 1.0 / mean_s
-    print(
-        json.dumps(
-            {
-                "metric": "swin_s_anchor_rpn_full_inference_throughput",
-                "value": round(scenes_per_sec, 4),
-                "unit": "scenes/sec/chip",
-                "vs_baseline": round(
-                    scenes_per_sec / ASSUMED_A100_SCENES_PER_SEC, 4
-                ),
-            }
-        )
-    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        bench_rpn("swin_s", SHAPE_RPN,
+                  "swin_s_anchor_rpn_full_inference_throughput",
+                  reps=30, mfu=True)
+    lines = [json.loads(l) for l in buf.getvalue().splitlines() if l.strip()]
+    headline = next(l for l in lines
+                    if l["metric"].endswith("inference_throughput"))
+    for l in lines:
+        if l is not headline:
+            print(json.dumps(l), flush=True)
+    headline["vs_baseline"] = round(
+        headline["value"] / ASSUMED_A100_SCENES_PER_SEC, 4)
+    print(json.dumps(headline), flush=True)
 
 
 if __name__ == "__main__":

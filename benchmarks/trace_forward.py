@@ -1,0 +1,141 @@
+"""Device-trace the bench forward and print a per-op roofline table.
+
+The axon tunnel DOES support jax.profiler device traces; the emitted
+``vm.trace.json.gz`` events carry the full HLO ``long_name`` (shapes +
+layouts), ``hlo_category``, ``bytes_accessed`` and ``model_flops`` — enough
+to compute achieved bandwidth / MFU per fusion without tensorboard.
+
+Usage:  python benchmarks/trace_forward.py [--jnp-attn] [--top N]
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import glob
+import gzip
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+PEAK_TFLOPS = 197.0   # v5e bf16
+PEAK_GBPS = 819.0
+
+
+def capture(trace_dir: str, jnp_attn: bool) -> None:
+    import jax
+    import jax.numpy as jnp
+    from flax.core import FrozenDict
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    if not jnp_attn:
+        # opt the backbone into the Pallas attention kernel (class defaults
+        # are frozen dataclass fields — patch the variant table instead)
+        from nerf_rpn_tpu.models import swin
+        for v in swin.SWIN_VARIANTS.values():
+            v["fused_min_windows"] = 128
+
+    from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
+    from nerf_rpn_tpu.models.rpn import RPNConfig
+    from nerf_rpn_tpu.train.state import TrainState, make_optimizer
+    from nerf_rpn_tpu.train.steps import make_rpn_eval_step
+
+    shape = (208, 208, 144)
+    rng = np.random.default_rng(0)
+    model = NeRFRPN(backbone_type="swin_s", resolution=max(shape),
+                    rotated=False, conv_depth=4, dtype=jnp.bfloat16)
+    cfg = RPNConfig(rotated=False)
+    grids = jnp.asarray(rng.uniform(0, 1, (1, *shape, 4)).astype(np.float32))
+    shapes_v = jax.eval_shape(
+        lambda: model.init(jax.random.PRNGKey(0), grids[:, :32, :32, :32]))
+    variables = jax.tree.map(
+        lambda s: jnp.asarray(rng.normal(0, 0.02, s.shape), s.dtype), shapes_v)
+    tx, _ = make_optimizer(1e-3, 10)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=None, tx=tx)
+    eval_step = make_rpn_eval_step(model, cfg, shape)
+    perturb = jax.jit(lambda g, c: g + c * 1e-20)
+    summarize = jax.jit(
+        lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9)
+    ori = jnp.asarray([[200, 200, 130]], jnp.int32)
+
+    def step(carry):
+        batch = {"grids": perturb(grids, carry), "ori_sizes": ori}
+        return summarize(eval_step(state, batch))
+
+    carry = jnp.zeros((), jnp.float32)
+    for _ in range(5):
+        carry = step(carry)
+    float(carry)
+    for _ in range(5):
+        carry = step(carry)
+    float(carry)
+    with jax.profiler.trace(trace_dir):
+        for _ in range(10):
+            carry = step(carry)
+        float(carry)
+
+
+def report(trace_dir: str, top: int, iters: int = 10) -> None:
+    p = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(p) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    pids = {e["pid"]: e["args"]["name"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {q for q, n in pids.items() if "TPU" in n}
+    agg, parents = {}, collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or e["pid"] not in dev:
+            continue
+        name = e["name"]
+        if name.startswith("jit_"):
+            parents[name.split("(")[0]] += e.get("dur", 0) / 1e3
+            continue
+        a = e.get("args", {})
+        rec = agg.setdefault(name, dict(
+            ms=0.0, n=0, bytes=int(a.get("bytes_accessed", 0)),
+            flops=int(a.get("model_flops", 0) or 0),
+            cat=a.get("hlo_category", ""), ln=a.get("long_name", "")[:120]))
+        rec["ms"] += e.get("dur", 0) / 1e3
+        rec["n"] += 1
+    for name, ms in parents.most_common():
+        print(f"[parent] {name}: {ms / iters:.2f} ms/iter")
+    bycat = collections.Counter()
+    for r in agg.values():
+        bycat[r["cat"]] += r["ms"] / iters
+    print(f"child total: {sum(bycat.values()):.2f} ms/iter")
+    for c, ms in bycat.most_common(12):
+        print(f"  {ms:7.2f} ms  {c}")
+    print()
+    for name, r in sorted(agg.items(), key=lambda kv: -kv[1]["ms"])[:top]:
+        ms = r["ms"] / iters
+        per_call_s = r["ms"] / r["n"] / 1e3
+        bw = r["bytes"] / per_call_s / 1e9
+        mfu = r["flops"] / per_call_s / 1e12 / PEAK_TFLOPS * 100
+        print(f"{ms:7.3f} ms x{r['n'] // iters:3d} {r['cat'][:16]:16s} "
+              f"bw={bw:6.0f}GB/s mfu={mfu:5.1f}% {name[:26]:26s} "
+              f"{r['ln'][:66]}")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--jnp-attn", action="store_true",
+                    help="force the XLA attention path (no Pallas kernel)")
+    ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--dir", default=None)
+    ap.add_argument("--report-only", action="store_true")
+    args = ap.parse_args()
+    d = args.dir or ("/tmp/trace_fwd_jnp" if args.jnp_attn
+                     else "/tmp/trace_fwd")
+    if not args.report_only:
+        capture(d, args.jnp_attn)
+    report(d, args.top)

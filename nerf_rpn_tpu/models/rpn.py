@@ -131,13 +131,13 @@ def flatten_head_outputs(
     return jnp.concatenate(flat_logits, 1), jnp.concatenate(flat_deltas, 1)
 
 
-def dynamic_padding_masks(
+def dynamic_padding_masks_levels(
     level_shapes: Sequence[Sequence[int]],
     strides: Sequence[Sequence[int]],
     anchors_per_loc: int,
     ori_sizes: jax.Array,
-) -> jax.Array:
-    """(B, N_total) validity masks from per-scene original sizes.
+) -> list[jax.Array]:
+    """Per-level (B, N_l) validity masks from per-scene original sizes.
 
     Anchor cells at index >= ceil(ori/stride) sit in zero-padding and are
     masked (reference ``anchor.py:124-152``).  ``ori_sizes``: (B, 3) int.
@@ -156,7 +156,23 @@ def dynamic_padding_masks(
         masks.append(
             jnp.repeat(cell_ok.reshape(ori_sizes.shape[0], -1), anchors_per_loc, axis=-1)
         )
-    return jnp.concatenate(masks, axis=-1)
+    return masks
+
+
+def dynamic_padding_masks(
+    level_shapes: Sequence[Sequence[int]],
+    strides: Sequence[Sequence[int]],
+    anchors_per_loc: int,
+    ori_sizes: jax.Array,
+) -> jax.Array:
+    """Concatenated (B, N_total) form of :func:`dynamic_padding_masks_levels`
+    (the training path works on the flattened anchor axis)."""
+    return jnp.concatenate(
+        dynamic_padding_masks_levels(
+            level_shapes, strides, anchors_per_loc, ori_sizes
+        ),
+        axis=-1,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +283,98 @@ def rpn_losses(
 # ---------------------------------------------------------------------------
 
 
+def generate_proposals_levels(
+    cfg: RPNConfig,
+    objectness: Sequence[jax.Array],   # per level (B, N_l)
+    pred_deltas: Sequence[jax.Array],  # per level (B, N_l, D)
+    anchors: Sequence[jax.Array],      # per level (N_l, 6)
+    mesh_size: Sequence[int],
+    padding_masks: Sequence[jax.Array] | None = None,  # per level (B, N_l)
+    training: bool = False,
+):
+    """Fixed-capacity proposal generation on per-level head outputs.
+
+    Taking the UNconcatenated per-level tensors avoids materialising the
+    (B, N_total, D) delta concat that the reference's flatten builds
+    (``rpn.py:20-44``) — the bench trace showed ~1.7 ms of pure layout
+    copies on that concat; the delta gather below touches only the per-level
+    top-k survivors.
+
+    Returns dict with boxes (B, K, 6|7), scores (B, K), level_idx (B, K),
+    valid (B, K) — K = post_nms_top_n, score-sorted, masked entries at the
+    end with score 0.
+    """
+    del training  # pre/post top-n are per-config here; pass a second cfg for train
+    b = objectness[0].shape[0]
+    n_levels = len(objectness)
+
+    # per-level top-k, then decode only the survivors; levels are PADDED to
+    # a common k so NMS can batch over (B, L) below
+    k_list = [min(cfg.pre_nms_top_n, o.shape[1]) for o in objectness]
+    kmax = max(k_list)
+    boxes_l, scores_l = [], []
+    for lvl, (obj, dl, anc) in enumerate(zip(objectness, pred_deltas, anchors)):
+        s = jax.lax.stop_gradient(obj)
+        if padding_masks is not None:
+            s = jnp.where(padding_masks[lvl], s, NEG_INF)
+        top_s, top_i = safe_top_k(s, k_list[lvl])  # (B, k_l)
+        sel_anchors = anc[top_i]                              # (B, k_l, 6)
+        sel_deltas = jnp.take_along_axis(dl, top_i[..., None], axis=1)
+        bx = cfg.decode(sel_deltas, sel_anchors)
+        pad = kmax - k_list[lvl]
+        if pad:
+            bx = jnp.pad(bx, ((0, 0), (0, pad), (0, 0)))
+            top_s = jnp.pad(top_s, ((0, 0), (0, pad)),
+                            constant_values=NEG_INF)
+        boxes_l.append(bx)
+        scores_l.append(top_s)
+
+    boxes = jnp.stack(boxes_l, axis=1)          # (B, L, kmax, 6|7)
+    raw_scores = jnp.stack(scores_l, axis=1)    # (B, L, kmax)
+    levels = jnp.broadcast_to(
+        jnp.arange(n_levels, dtype=jnp.int32)[None, :, None],
+        raw_scores.shape)
+    probs = jax.nn.sigmoid(raw_scores)
+
+    grid = jnp.asarray(mesh_size, boxes.dtype)
+    if cfg.rotated:
+        valid = obb_center_valid_mask(boxes, grid)
+    else:
+        boxes = clip_boxes_to_grid(boxes, grid)
+        valid = jnp.ones(boxes.shape[:3], bool)
+    valid &= small_box_mask(boxes, cfg.min_size)
+    valid &= probs >= cfg.score_thresh
+    valid &= raw_scores > NEG_INF / 2  # padded-anchor / padded-slot sentinels
+
+    # NMS batched over (scene, level): suppression is per-level by the
+    # reference's batched-NMS category semantics, so L independent
+    # kmax-sized problems replace one (L*kmax)^2 categorised problem —
+    # 4x fewer pair IoUs at the bench shape.  nms_mask is vmap-safe (its
+    # candidate rounds are a while_loop, not a both-branch lax.cond).
+    d = boxes.shape[-1]
+    keep = jax.vmap(
+        lambda bx, sc, vd: nms_mask(bx, sc, vd, cfg.nms_thresh)
+    )(boxes.reshape(b * n_levels, kmax, d),
+      probs.reshape(b * n_levels, kmax),
+      valid.reshape(b * n_levels, kmax))
+
+    # final cap: top-k over the union of all levels' survivors
+    masked = jnp.where(keep.reshape(b, n_levels, kmax), probs, NEG_INF)
+    masked = masked.reshape(b, n_levels * kmax)
+    k = min(cfg.post_nms_top_n, masked.shape[1])
+    top_s, top_i = safe_top_k(masked, k)
+    flat_boxes = boxes.reshape(b, n_levels * kmax, d)
+    out_boxes = jnp.take_along_axis(flat_boxes, top_i[..., None], axis=1)
+    out_levels = jnp.take_along_axis(
+        levels.reshape(b, n_levels * kmax), top_i, axis=1)
+    return {
+        "boxes": out_boxes,
+        "scores": jnp.clip(top_s, 0.0),
+        "level_idx": out_levels,
+        "valid": top_s > NEG_INF / 2,
+    }
+
+
 def generate_proposals(
     cfg: RPNConfig,
     objectness: jax.Array,          # (B, N)
@@ -277,68 +385,23 @@ def generate_proposals(
     padding_mask: jax.Array | None = None,
     training: bool = False,
 ):
-    """Fixed-capacity proposal generation.
-
-    Returns dict with boxes (B, K, 6|7), scores (B, K), level_idx (B, K),
-    valid (B, K) — K = post_nms_top_n, score-sorted, masked entries at the
-    end with score 0.
-    """
-    del training  # pre/post top-n are per-config here; pass a second cfg for train
-    b, n = objectness.shape
-    scores = jax.lax.stop_gradient(objectness)
-    if padding_mask is not None:
-        scores = jnp.where(padding_mask, scores, NEG_INF)
-
-    # per-level top-k, then decode only the survivors
-    boxes_l, scores_l, levels_l = [], [], []
+    """Concatenated-input form of :func:`generate_proposals_levels` —
+    splits (B, N_total) / (B, N_total, D) back into per-level slices."""
+    obj_l, dl_l, anc_l, pad_l = [], [], [], []
     offset = 0
-    for lvl, count in enumerate(level_counts):
-        k = min(cfg.pre_nms_top_n, count)
-        s = jax.lax.slice_in_dim(scores, offset, offset + count, axis=1)
-        top_s, top_i = safe_top_k(s, k)  # (B, k)
-        lvl_anchors = jax.lax.slice_in_dim(anchors, offset, offset + count, axis=0)
-        lvl_deltas = jax.lax.slice_in_dim(pred_deltas, offset, offset + count, axis=1)
-        sel_anchors = lvl_anchors[top_i]                      # (B, k, 6)
-        sel_deltas = jnp.take_along_axis(lvl_deltas, top_i[..., None], axis=1)
-        boxes_l.append(cfg.decode(sel_deltas, sel_anchors))
-        scores_l.append(top_s)
-        levels_l.append(jnp.full((b, k), lvl, jnp.int32))
+    for count in level_counts:
+        obj_l.append(jax.lax.slice_in_dim(objectness, offset, offset + count, axis=1))
+        dl_l.append(jax.lax.slice_in_dim(pred_deltas, offset, offset + count, axis=1))
+        anc_l.append(jax.lax.slice_in_dim(anchors, offset, offset + count, axis=0))
+        if padding_mask is not None:
+            pad_l.append(
+                jax.lax.slice_in_dim(padding_mask, offset, offset + count, axis=1))
         offset += count
-
-    boxes = jnp.concatenate(boxes_l, axis=1)      # (B, K_all, 6|7)
-    raw_scores = jnp.concatenate(scores_l, axis=1)
-    levels = jnp.concatenate(levels_l, axis=1)
-    probs = jax.nn.sigmoid(raw_scores)
-
-    grid = jnp.asarray(mesh_size, boxes.dtype)
-    if cfg.rotated:
-        valid = obb_center_valid_mask(boxes, grid)
-    else:
-        boxes = clip_boxes_to_grid(boxes, grid)
-        valid = jnp.ones(boxes.shape[:2], bool)
-    valid &= small_box_mask(boxes, cfg.min_size)
-    valid &= probs >= cfg.score_thresh
-    valid &= raw_scores > NEG_INF / 2  # padded-anchor sentinels
-
-    def nms_one(bx, sc, vd, lv):
-        keep = nms_mask(bx, sc, vd, cfg.nms_thresh, category=lv)
-        masked = jnp.where(keep, sc, NEG_INF)
-        k = min(cfg.post_nms_top_n, masked.shape[0])
-        top_s, top_i = safe_top_k(masked, k)
-        return bx[top_i], jnp.clip(top_s, 0.0), lv[top_i], top_s > NEG_INF / 2
-
-    # vmap keeps the batch axis parallel (and mesh-shardable in the CLI's
-    # data-parallel eval); nms_mask is vmap-safe — its candidate rounds are
-    # a while_loop, not a lax.cond that vmap would both-branch.
-    out_boxes, out_scores, out_levels, out_valid = jax.vmap(nms_one)(
-        boxes, probs, valid, levels
+    return generate_proposals_levels(
+        cfg, obj_l, dl_l, anc_l, mesh_size,
+        padding_masks=pad_l if padding_mask is not None else None,
+        training=training,
     )
-    return {
-        "boxes": out_boxes,
-        "scores": out_scores,
-        "level_idx": out_levels,
-        "valid": out_valid,
-    }
 
 
 def voxel_objectness_scores(

@@ -104,16 +104,32 @@ def _window_reverse(x: jax.Array, window: Sequence[int], b: int,
 
 
 class ShiftedWindowAttention3D(nn.Module):
-    """3D W-MSA with relative position bias and optional cyclic shift."""
+    """3D W-MSA with relative position bias and optional cyclic shift.
+
+    Optionally (``fused_min_windows > 0``) blocks with enough windows route
+    through the fused Pallas kernel
+    (``ops/window_attention.fused_qkv_window_attention``).  The kernel wins
+    ~2x at block scale (stage-0 pair 2.96 -> 1.50 ms,
+    ``benchmarks/microbench_swinblock_ab.py``) but is DISABLED by default:
+    embedded in the full backbone graph, XLA layout assignment around the
+    custom call re-lays-out the neighbouring conv/LN ops and the full
+    forward measures ~5 ms SLOWER (38.3 vs 33 ms,
+    ``benchmarks/trace_forward.py``; `benchmarks/microbench_attn_ctx{3,4}`
+    bisects: no barrier/conv-variant/dtype fix recovers it).  Training and
+    CPU always use the jnp path (the kernel defines no custom VJP).
+    """
 
     dim: int
     window: tuple[int, int, int]
     shift: tuple[int, int, int]
     num_heads: int
     dtype: jnp.dtype = jnp.float32
+    # 0 = never use the Pallas kernel; >0 = use it for blocks with at least
+    # this many windows (opt-in: net loss at full-graph scale, see above)
+    fused_min_windows: int = 0
 
     @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
+    def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
         b, sx, sy, sz, c = x.shape
         wx, wy, wz = self.window
         pad = tuple((w - s % w) % w for s, w in zip((sx, sy, sz), self.window))
@@ -130,11 +146,6 @@ class ShiftedWindowAttention3D(nn.Module):
         n = wx * wy * wz
         windows = _window_partition(x, self.window)  # (B*nW, N, C)
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(windows)
-        qkv = qkv.reshape(windows.shape[0], n, 3, self.num_heads, c // self.num_heads)
-        q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
-        q = q * (c // self.num_heads) ** -0.5
-        attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
-                          preferred_element_type=jnp.float32)
 
         table = self.param(
             "relative_position_bias_table",
@@ -143,21 +154,47 @@ class ShiftedWindowAttention3D(nn.Module):
         )
         idx = _relative_position_index(self.window)
         bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
-        attn = attn + bias[None].astype(attn.dtype)
-
         mask = _shift_attn_mask(pad_size, self.window, shift)
-        if mask is not None:
-            num_windows = mask.shape[0]
-            attn = attn.reshape(b, num_windows, self.num_heads, n, n)
-            attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
-            attn = attn.reshape(b * num_windows, self.num_heads, n, n)
 
-        attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
-        y = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
-                       preferred_element_type=jnp.float32).astype(self.dtype)
-        y = y.transpose(0, 2, 1, 3).reshape(windows.shape[0], n, c)
+        total_windows = windows.shape[0]
+        use_fused = (
+            not train
+            and self.fused_min_windows > 0
+            and jax.default_backend() == "tpu"
+            and total_windows >= self.fused_min_windows
+            and c % self.num_heads == 0
+            and n % 8 == 0
+        )
+        if use_fused:
+            from nerf_rpn_tpu.ops.window_attention import (
+                fused_qkv_window_attention,
+            )
+
+            fmask = None
+            if mask is not None:
+                fmask = jnp.tile(
+                    jnp.asarray(mask, self.dtype), (b, 1, 1))
+            y = fused_qkv_window_attention(
+                qkv, bias.astype(jnp.float32), fmask, self.num_heads)
+        else:
+            qkv = qkv.reshape(
+                total_windows, n, 3, self.num_heads, c // self.num_heads)
+            q, k, v = (qkv[:, :, i].transpose(0, 2, 1, 3) for i in range(3))
+            q = q * (c // self.num_heads) ** -0.5
+            attn = jnp.einsum("bhnd,bhmd->bhnm", q, k,
+                              preferred_element_type=jnp.float32)
+            attn = attn + bias[None].astype(attn.dtype)
+            if mask is not None:
+                num_windows = mask.shape[0]
+                attn = attn.reshape(b, num_windows, self.num_heads, n, n)
+                attn = attn + jnp.asarray(mask)[None, :, None].astype(attn.dtype)
+                attn = attn.reshape(b * num_windows, self.num_heads, n, n)
+            attn = jax.nn.softmax(attn, axis=-1).astype(self.dtype)
+            y = jnp.einsum("bhnm,bhmd->bhnd", attn, v,
+                           preferred_element_type=jnp.float32).astype(self.dtype)
+            y = y.transpose(0, 2, 1, 3).reshape(total_windows, n, c)
+
         y = nn.Dense(self.dim, dtype=self.dtype, name="proj")(y)
-
         y = _window_reverse(y, self.window, b, pad_size)
         if sum(shift):
             y = jnp.roll(y, shift, axis=(1, 2, 3))
@@ -172,6 +209,7 @@ class SwinBlock(nn.Module):
     mlp_ratio: float = 4.0
     drop_path: float = 0.0
     dtype: jnp.dtype = jnp.float32
+    fused_min_windows: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> jax.Array:
@@ -188,7 +226,8 @@ class SwinBlock(nn.Module):
             ShiftedWindowAttention3D(
                 self.dim, self.window, self.shift, self.num_heads,
                 dtype=self.dtype, name="attn",
-            )(ln("norm1")(x))
+                fused_min_windows=self.fused_min_windows,
+            )(ln("norm1")(x), train=train)
         )
         h = ln("norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
@@ -278,6 +317,7 @@ class SwinFPN(nn.Module):
     out_channels: int = 256
     in_dim: int = 4
     dtype: jnp.dtype = jnp.float32
+    fused_min_windows: int = 0
 
     @nn.compact
     def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, ...]:
@@ -302,6 +342,7 @@ class SwinFPN(nn.Module):
                 y = SwinBlock(
                     dim, self.num_heads[i_stage], self.window, shift,
                     mlp_ratio=self.mlp_ratio, drop_path=sd, dtype=self.dtype,
+                    fused_min_windows=self.fused_min_windows,
                     name=f"stage{i_stage}_block{i_block}",
                 )(y, train=train)
                 block_id += 1

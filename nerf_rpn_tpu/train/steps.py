@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 import optax
@@ -97,9 +98,15 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
     )
     anchors_per_loc = model.num_anchors
 
+    # numpy per-level anchor tables (trace-time constants)
+    level_anchors = np.split(anchors_np, np.cumsum(counts)[:-1])
+
     # two jits, not one: the tunnel AOT compiler is superlinear in program
     # size, and splitting backbone-forward from proposal-gen cuts a >30 min
-    # monolith compile into two few-minute (and independently cached) units
+    # monolith compile into two few-minute (and independently cached) units.
+    # Head outputs cross the boundary PER LEVEL (flat (B, N_l) views, free
+    # reshapes) — concatenating them first cost ~1.7 ms of layout copies at
+    # the bench shape (see generate_proposals_levels).
     @jax.jit
     def forward(state, grids):
         feats, logits, deltas = model.apply(
@@ -107,20 +114,20 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
             grids,
             train=False,
         )
-        obj, dl = rpn_lib.flatten_head_outputs(
-            logits[: len(shapes)], deltas[: len(shapes)], cfg.delta_dim
-        )
+        b = grids.shape[0]
+        obj_l = [l.reshape(b, -1) for l in logits[: len(shapes)]]
+        dl_l = [d.reshape(b, -1, cfg.delta_dim) for d in deltas[: len(shapes)]]
         vox = rpn_lib.voxel_objectness_scores(logits[: len(shapes)])
-        return feats[: len(shapes)], obj, dl, vox
+        return feats[: len(shapes)], obj_l, dl_l, vox
 
     @jax.jit
-    def propose(obj, dl, ori_sizes):
-        padding = rpn_lib.dynamic_padding_masks(
+    def propose(obj_l, dl_l, ori_sizes):
+        pads = rpn_lib.dynamic_padding_masks_levels(
             shapes, level_strides, anchors_per_loc, ori_sizes
         )
-        return rpn_lib.generate_proposals(
-            cfg, obj, dl, jnp.asarray(anchors_np), counts, mesh_shape,
-            padding_mask=padding,
+        return rpn_lib.generate_proposals_levels(
+            cfg, obj_l, dl_l, [jnp.asarray(a) for a in level_anchors],
+            mesh_shape, padding_masks=pads,
         )
 
     def eval_step(state, batch):
@@ -131,6 +138,9 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
             out["features"] = [f.astype(jnp.float32) for f in feats]
         return out
 
+    # expose the compile units (bench.py times/cost-analyses them separately)
+    eval_step.forward = forward
+    eval_step.propose = propose
     return eval_step
 
 
@@ -366,4 +376,6 @@ def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
         out["voxel_scores"] = vox
         return out
 
+    eval_step.forward = forward
+    eval_step.propose = propose
     return eval_step

@@ -42,3 +42,47 @@ def test_reference_softmax_normalised():
     out = window_attention_reference(q, k, v, bias, masks, jnp.zeros(2, jnp.int32))
     # attention of identical q=k=v stays in the convex hull of v rows
     assert float(jnp.abs(out).max()) <= float(jnp.abs(v).max()) + 1e-4
+
+
+# ---------------------------------------------------------------------------
+# v2: fused-qkv kernel (the one the Swin backbone uses on TPU)
+# ---------------------------------------------------------------------------
+
+from nerf_rpn_tpu.ops.window_attention import (  # noqa: E402
+    fused_qkv_window_attention,
+    fused_qkv_window_attention_reference,
+)
+
+
+@pytest.mark.parametrize("w,h,n,c,group,with_mask", [
+    (37, 3, 64, 96, 16, False),   # stage-0 shape, padding path
+    (24, 6, 64, 192, 8, True),    # stage-1 shape, shifted
+    (48, 12, 64, 384, 16, True),  # stage-2 shape
+])
+def test_fused_qkv_matches_reference(w, h, n, c, group, with_mask):
+    rng = np.random.default_rng(0)
+    qkv = jnp.asarray(rng.normal(0, 1, (w, n, 3 * c)), jnp.bfloat16)
+    bias = jnp.asarray(rng.normal(0, 0.5, (h, n, n)), jnp.float32)
+    mask = None
+    if with_mask:
+        m = np.where(rng.random((w, n, n)) < 0.2, -100.0, 0.0)
+        mask = jnp.asarray(m, jnp.bfloat16)
+    ref = fused_qkv_window_attention_reference(qkv, bias, mask, h)
+    out = fused_qkv_window_attention(qkv, bias, mask, h, group=group,
+                                     interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32), np.asarray(ref, np.float32),
+        rtol=1e-2, atol=1e-2)
+
+
+def test_swin_attention_uses_jnp_path_off_tpu():
+    """On CPU the module must not route through the Pallas kernel."""
+    from nerf_rpn_tpu.models.swin import ShiftedWindowAttention3D
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(0, 1, (1, 8, 8, 8, 32)), jnp.float32)
+    mod = ShiftedWindowAttention3D(32, (4, 4, 4), (2, 2, 2), num_heads=2,
+                                   fused_min_windows=1)
+    params = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(params, x)  # would crash if the TPU kernel were taken
+    assert y.shape == x.shape and jax.default_backend() == "cpu"
