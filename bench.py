@@ -127,10 +127,17 @@ def bench_rpn(backbone, shape, metric, reps, mfu=False, **emit_extra):
 
         fwd_s = timed_chain(fwd_step, reps)
         try:
-            ca = eval_step.forward.lower(state, grids).compile().cost_analysis()
-            if isinstance(ca, (list, tuple)):
-                ca = ca[0]
-            flops = float(ca.get("flops", 0.0))
+            # the forward may be several chained compile units (the Swin
+            # path splits embed | stages | neck+head); sum their FLOPs
+            flops = 0.0
+            args = (state, grids)
+            for unit in getattr(eval_step, "forward_units",
+                                (eval_step.forward,)):
+                ca = unit.lower(*args).compile().cost_analysis()
+                if isinstance(ca, (list, tuple)):
+                    ca = ca[0]
+                flops += float(ca.get("flops", 0.0))
+                args = (state, jax.eval_shape(unit, *args))
         except Exception:
             flops = 0.0
         peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)

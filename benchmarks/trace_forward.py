@@ -34,12 +34,9 @@ def capture(trace_dir: str, jnp_attn: bool) -> None:
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
 
-    if not jnp_attn:
-        # opt the backbone into the Pallas attention kernel (class defaults
-        # are frozen dataclass fields — patch the variant table instead)
-        from nerf_rpn_tpu.models import swin
-        for v in swin.SWIN_VARIANTS.values():
-            v["fused_min_windows"] = 128
+    if jnp_attn:
+        # force the XLA attention path in the split Swin eval units
+        os.environ["NERF_RPN_TPU_FUSED_MIN_WINDOWS"] = "0"
 
     from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
     from nerf_rpn_tpu.models.rpn import RPNConfig

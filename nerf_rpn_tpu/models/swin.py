@@ -320,33 +320,58 @@ class SwinFPN(nn.Module):
     fused_min_windows: int = 0
 
     @nn.compact
-    def __call__(self, x: jax.Array, train: bool = False) -> tuple[jax.Array, ...]:
-        y = PatchEmbed3D(self.embed_dim, self.patch_size, dtype=self.dtype,
-                         name="patch_embed")(x)
-        y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="patch_norm")(y)
+    def __call__(self, x, train: bool = False, stage: str = "all"):
+        """``stage`` selects a compile unit (param names are identical in
+        every mode, so one checkpoint serves all of them):
 
-        total_blocks = sum(self.depths)
-        block_id = 0
-        features = []
-        for i_stage, depth in enumerate(self.depths):
-            dim = self.embed_dim * (2 ** i_stage) if self.expand_dim else self.embed_dim
-            if i_stage > 0:
-                prev = self.embed_dim * (2 ** (i_stage - 1)) if self.expand_dim else self.embed_dim
-                y = PatchMerging3D(prev, expand=self.expand_dim, dtype=self.dtype,
-                                   name=f"merge_{i_stage}")(y)
-            for i_block in range(depth):
-                sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
-                shift = tuple(
-                    0 if i_block % 2 == 0 else w // 2 for w in self.window
-                )
-                y = SwinBlock(
-                    dim, self.num_heads[i_stage], self.window, shift,
-                    mlp_ratio=self.mlp_ratio, drop_path=sd, dtype=self.dtype,
-                    fused_min_windows=self.fused_min_windows,
-                    name=f"stage{i_stage}_block{i_block}",
-                )(y, train=train)
-                block_id += 1
-            features.append(y)
+        - ``"all"``: grids -> FPN pyramid (the monolithic forward).
+        - ``"embed"``: grids -> patch-embedded tokens.
+        - ``"stages"``: tokens -> tuple of per-stage features.  This unit
+          contains NO convolutions, so inference drivers can jit it
+          separately and opt into the Pallas attention kernel without XLA's
+          layout assignment poisoning the conv neighbourhood (the kernel
+          loses ~5 ms when convs share its program — see
+          ShiftedWindowAttention3D; split, it WINS ~2.8 ms at the bench
+          shape, ``benchmarks/microbench_split_jits.py``).
+        - ``"neck"``: tuple of per-stage features -> FPN pyramid.
+        """
+        if stage in ("all", "embed"):
+            y = PatchEmbed3D(self.embed_dim, self.patch_size, dtype=self.dtype,
+                             name="patch_embed")(x)
+            y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype,
+                             name="patch_norm")(y)
+            if stage == "embed":
+                return y
+        else:
+            y = x
+
+        if stage in ("all", "stages"):
+            total_blocks = sum(self.depths)
+            block_id = 0
+            features = []
+            for i_stage, depth in enumerate(self.depths):
+                dim = self.embed_dim * (2 ** i_stage) if self.expand_dim else self.embed_dim
+                if i_stage > 0:
+                    prev = self.embed_dim * (2 ** (i_stage - 1)) if self.expand_dim else self.embed_dim
+                    y = PatchMerging3D(prev, expand=self.expand_dim, dtype=self.dtype,
+                                       name=f"merge_{i_stage}")(y)
+                for i_block in range(depth):
+                    sd = self.stochastic_depth_prob * block_id / max(total_blocks - 1, 1)
+                    shift = tuple(
+                        0 if i_block % 2 == 0 else w // 2 for w in self.window
+                    )
+                    y = SwinBlock(
+                        dim, self.num_heads[i_stage], self.window, shift,
+                        mlp_ratio=self.mlp_ratio, drop_path=sd, dtype=self.dtype,
+                        fused_min_windows=self.fused_min_windows,
+                        name=f"stage{i_stage}_block{i_block}",
+                    )(y, train=train)
+                    block_id += 1
+                features.append(y)
+            if stage == "stages":
+                return tuple(features)
+        else:
+            features = list(x)
 
         return FPN(
             in_channels=tuple(

@@ -46,6 +46,9 @@ def make_rpn_train_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32
         padding = rpn_lib.dynamic_padding_masks(
             shapes, level_strides, anchors_per_loc, batch["ori_sizes"]
         )
+        # separate streams: anchor sampling vs stochastic depth (the Swin
+        # backbone's drop_path needs a "dropout" rng in train mode)
+        key, drop_key = jax.random.split(key)
 
         def loss_fn(params):
             (feats, logits, deltas), mutated = model.apply(
@@ -53,6 +56,7 @@ def make_rpn_train_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32
                 batch["grids"],
                 train=True,
                 mutable=["batch_stats"],
+                rngs={"dropout": drop_key},
             )
             # use only the levels covered by the anchor tables
             obj, dl = rpn_lib.flatten_head_outputs(
@@ -101,24 +105,77 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
     # numpy per-level anchor tables (trace-time constants)
     level_anchors = np.split(anchors_np, np.cumsum(counts)[:-1])
 
-    # two jits, not one: the tunnel AOT compiler is superlinear in program
-    # size, and splitting backbone-forward from proposal-gen cuts a >30 min
-    # monolith compile into two few-minute (and independently cached) units.
+    # Multiple jits, not one: the tunnel AOT compiler is superlinear in
+    # program size, and splitting backbone-forward from proposal-gen cuts a
+    # >30 min monolith compile into few-minute (independently cached) units.
     # Head outputs cross the boundary PER LEVEL (flat (B, N_l) views, free
     # reshapes) — concatenating them first cost ~1.7 ms of layout copies at
     # the bench shape (see generate_proposals_levels).
-    @jax.jit
-    def forward(state, grids):
-        feats, logits, deltas = model.apply(
-            {"params": state.params, "batch_stats": state.batch_stats},
-            grids,
-            train=False,
-        )
-        b = grids.shape[0]
+
+    def _flatten(feats, logits, deltas, b):
         obj_l = [l.reshape(b, -1) for l in logits[: len(shapes)]]
         dl_l = [d.reshape(b, -1, cfg.delta_dim) for d in deltas[: len(shapes)]]
         vox = rpn_lib.voxel_objectness_scores(logits[: len(shapes)])
         return feats[: len(shapes)], obj_l, dl_l, vox
+
+    from nerf_rpn_tpu.models.swin import SWIN_VARIANTS, make_swin_fpn
+
+    # experiment knob: 0 disables the Pallas attention kernel in the split
+    # Swin eval path (used by benchmarks/trace_forward.py --jnp-attn)
+    import os as _os
+    fused_min = int(_os.environ.get("NERF_RPN_TPU_FUSED_MIN_WINDOWS", "128"))
+
+    if model.backbone_type in SWIN_VARIANTS:
+        # Swin inference runs as THREE compile units: [patch-embed conv] |
+        # [conv-free stages, Pallas window attention ON] | [FPN + head
+        # convs].  The Pallas kernel wins ~2x at block scale but loses ~5 ms
+        # when convs share its XLA program (layout-assignment poison, see
+        # ShiftedWindowAttention3D); in its own conv-free unit it wins
+        # ~2.8 ms at the bench shape (benchmarks/microbench_split_jits.py).
+        from nerf_rpn_tpu.models.heads import RPNHead3D
+
+        bb = make_swin_fpn(model.backbone_type, dtype=model.dtype,
+                           fused_min_windows=fused_min)
+        head = RPNHead3D(in_channels=256, num_anchors=model.num_anchors,
+                         conv_depth=model.conv_depth, rotate=model.rotated,
+                         dtype=model.dtype)
+
+        @jax.jit
+        def fwd_embed(state, grids):
+            return bb.apply({"params": state.params["backbone"]}, grids,
+                            stage="embed")
+
+        @jax.jit
+        def fwd_stages(state, tokens):
+            return bb.apply({"params": state.params["backbone"]}, tokens,
+                            stage="stages")
+
+        @jax.jit
+        def fwd_neck_head(state, stage_feats):
+            pyr = bb.apply({"params": state.params["backbone"]},
+                           stage_feats, stage="neck")
+            logits, deltas = head.apply(
+                {"params": state.params["rpn_head"]}, list(pyr))
+            return _flatten(list(pyr), logits, deltas,
+                            stage_feats[0].shape[0])
+
+        def forward(state, grids):
+            tokens = fwd_embed(state, grids)
+            stage_feats = fwd_stages(state, tokens)
+            return fwd_neck_head(state, stage_feats)
+
+        forward_units = (fwd_embed, fwd_stages, fwd_neck_head)
+    else:
+        @jax.jit
+        def forward(state, grids):
+            feats, logits, deltas = model.apply(
+                {"params": state.params, "batch_stats": state.batch_stats},
+                grids,
+                train=False,
+            )
+            return _flatten(feats, logits, deltas, grids.shape[0])
+
+        forward_units = (forward,)
 
     @jax.jit
     def propose(obj_l, dl_l, ori_sizes):
@@ -140,6 +197,7 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
 
     # expose the compile units (bench.py times/cost-analyses them separately)
     eval_step.forward = forward
+    eval_step.forward_units = forward_units
     eval_step.propose = propose
     return eval_step
 
@@ -157,14 +215,15 @@ def make_fcos_train_step(model, cfg: FCOSConfig, mesh_shape):
 
     @jax.jit
     def train_step(state, batch, key):
-        del key  # FCOS target assignment is deterministic
-
+        # FCOS target assignment is deterministic; the key only feeds the
+        # Swin backbone's stochastic-depth "dropout" stream
         def loss_fn(params):
             (feats, cls, reg, ctr), mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["grids"],
                 train=True,
                 mutable=["batch_stats"],
+                rngs={"dropout": key},
             )
             cls_f = fcos_lib.flatten_fcos_outputs(cls, 1)
             reg_f = fcos_lib.flatten_fcos_outputs(reg, cfg.reg_dim)
@@ -203,6 +262,8 @@ def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
 
     @jax.jit
     def train_step(state, batch, key):
+        key, drop_key = jax.random.split(key)
+
         def loss_fn(params):
             mutated = {}
             if backbone is not None:
@@ -212,6 +273,7 @@ def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
                 features, mut = backbone.apply(
                     variables, batch["grids"], train=True,
                     mutable=["batch_stats"],
+                    rngs={"dropout": drop_key},
                 )
                 mutated = mut
                 head_params = params["head"]

@@ -198,3 +198,85 @@ def test_level_strides_and_padding_mask():
     mask = padding_valid_mask((4, 4, 4), (4, 4, 4), (9, 16, 16), num_anchors=2)
     m = mask.reshape(4, 4, 4, 2)
     assert m[:3].all() and not m[3:].any()  # ceil(9/4)=3 valid cells in x
+
+
+def test_swin_staged_apply_matches_monolithic(rng):
+    """The stage-wise compile units (embed | stages | neck) must reproduce
+    the monolithic forward exactly — inference drivers jit them separately
+    so the Pallas attention kernel never shares a program with convs."""
+    m = SwinFPN(embed_dim=16, depths=(1, 1), num_heads=(2, 2), out_channels=16)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 16, 4)).astype(np.float32))
+    v = m.init(jax.random.PRNGKey(0), x)
+    full = m.apply(v, x)
+    tokens = m.apply(v, x, stage="embed")
+    feats = m.apply(v, tokens, stage="stages")
+    pyr = m.apply(v, feats, stage="neck")
+    assert len(full) == len(pyr)
+    for a, b in zip(full, pyr):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_swin_eval_step_split_units_match_model(rng):
+    """make_rpn_eval_step's split Swin forward == NeRFRPN.apply outputs."""
+    from flax.core import FrozenDict
+
+    from nerf_rpn_tpu.models import rpn as rpn_lib
+    from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
+    from nerf_rpn_tpu.models.rpn import RPNConfig
+    from nerf_rpn_tpu.train.state import TrainState, make_optimizer
+    from nerf_rpn_tpu.train.steps import make_rpn_eval_step
+
+    shape = (16, 16, 16)
+    model = NeRFRPN(backbone_type="swin_t", resolution=16, conv_depth=1)
+    cfg = RPNConfig(rotated=False, pre_nms_top_n=32, post_nms_top_n=16)
+    grids = jnp.asarray(rng.normal(size=(1, *shape, 4)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), grids)
+    tx, _ = make_optimizer(1e-3, 10)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=None, tx=tx)
+    eval_step = make_rpn_eval_step(model, cfg, shape)
+    assert len(eval_step.forward_units) == 3  # swin => split units
+    feats, obj_l, dl_l, vox = eval_step.forward(state, grids)
+
+    ref_feats, ref_logits, ref_deltas = model.apply(variables, grids,
+                                                    train=False)
+    # different compile units => different XLA fusion/accumulation order;
+    # agreement is to f32 round-off, not bit-exact
+    tol = dict(rtol=3e-5, atol=3e-5)
+    for got, ref in zip(feats, ref_feats):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), **tol)
+    ref_obj, ref_dl = rpn_lib.flatten_head_outputs(
+        ref_logits[:4], ref_deltas[:4], cfg.delta_dim)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(obj_l, 1)), np.asarray(ref_obj), **tol)
+    np.testing.assert_allclose(
+        np.asarray(jnp.concatenate(dl_l, 1)), np.asarray(ref_dl), **tol)
+
+
+def test_swin_train_step_stochastic_depth_rng(rng):
+    """Swin training needs a "dropout" rng for stochastic depth — the train
+    steps must plumb it (regression: InvalidRngError in run_rpn --backbone
+    swin_* --mode train)."""
+    from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
+    from nerf_rpn_tpu.models.rpn import RPNConfig
+    from nerf_rpn_tpu.train.state import create_train_state, make_optimizer
+    from nerf_rpn_tpu.train.steps import make_rpn_train_step
+
+    shape = (16, 16, 16)
+    model = NeRFRPN(backbone_type="swin_t", resolution=16, conv_depth=1)
+    cfg = RPNConfig(rotated=False, pre_nms_top_n=32, post_nms_top_n=16,
+                    batch_size_per_mesh=8)
+    tx, _ = make_optimizer(1e-3, 10)
+    state = create_train_state(model, jax.random.PRNGKey(0),
+                               jnp.zeros((1, *shape, 4)), tx)
+    batch = {
+        "grids": jnp.asarray(rng.normal(size=(1, *shape, 4)).astype(np.float32)),
+        "ori_sizes": jnp.full((1, 3), 16, jnp.int32),
+        "gt_boxes": jnp.asarray([[[2, 2, 2, 9, 9, 9]]], jnp.float32),
+        "gt_mask": jnp.ones((1, 1), bool),
+    }
+    train_step, _ = make_rpn_train_step(model, cfg, shape, (4, 8))
+    state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
