@@ -411,18 +411,67 @@ def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
         shapes, cfg.fpn_strides
     )
 
-    # split into two compile units (see make_rpn_eval_step note)
-    @jax.jit
-    def forward(state, grids):
-        variables = {"params": state.params}
-        if state.batch_stats:
-            variables["batch_stats"] = state.batch_stats
-        feats, cls, reg, ctr = model.apply(variables, grids, train=False)
+    def _flatten(cls, reg, ctr):
         cls_f = fcos_lib.flatten_fcos_outputs(cls, 1)
         reg_f = fcos_lib.flatten_fcos_outputs(reg, cfg.reg_dim)
         ctr_f = fcos_lib.flatten_fcos_outputs(ctr, 1)
         vox = fcos_lib.fcos_voxel_scores(cls, ctr)
         return cls_f, reg_f, ctr_f, vox
+
+    from nerf_rpn_tpu.models.swin import SWIN_VARIANTS, make_swin_fpn
+
+    import os as _os
+    fused_min = int(_os.environ.get("NERF_RPN_TPU_FUSED_MIN_WINDOWS", "128"))
+
+    if model.backbone_type in SWIN_VARIANTS:
+        # same three-compile-unit split as make_rpn_eval_step: the Pallas
+        # window-attention kernel only wins in a conv-free program
+        from nerf_rpn_tpu.models.heads import FCOSHead3D
+
+        bb = make_swin_fpn(model.backbone_type, dtype=model.dtype,
+                           fused_min_windows=fused_min)
+        head = FCOSHead3D(in_channels=256, num_convs=model.num_convs,
+                          rotate=model.rotated,
+                          centerness_on_reg=model.centerness_on_reg,
+                          norm_reg_targets=model.norm_reg_targets,
+                          fpn_strides=tuple(model.fpn_strides),
+                          dtype=model.dtype)
+
+        @jax.jit
+        def fwd_embed(state, grids):
+            return bb.apply({"params": state.params["backbone"]}, grids,
+                            stage="embed")
+
+        @jax.jit
+        def fwd_stages(state, tokens):
+            return bb.apply({"params": state.params["backbone"]}, tokens,
+                            stage="stages")
+
+        @jax.jit
+        def fwd_neck_head(state, stage_feats):
+            pyr = bb.apply({"params": state.params["backbone"]},
+                           stage_feats, stage="neck")
+            cls, reg, ctr = head.apply(
+                {"params": state.params["fcos_head"]}, list(pyr),
+                train=False)
+            return _flatten(cls, reg, ctr)
+
+        def forward(state, grids):
+            tokens = fwd_embed(state, grids)
+            stage_feats = fwd_stages(state, tokens)
+            return fwd_neck_head(state, stage_feats)
+
+        forward_units = (fwd_embed, fwd_stages, fwd_neck_head)
+    else:
+        @jax.jit
+        def forward(state, grids):
+            variables = {"params": state.params}
+            if state.batch_stats:
+                variables["batch_stats"] = state.batch_stats
+            feats, cls, reg, ctr = model.apply(variables, grids, train=False)
+            return _flatten(cls, reg, ctr)
+
+        forward_units = (forward,)
 
     @jax.jit
     def propose(cls_f, reg_f, ctr_f, ori_sizes):
@@ -439,5 +488,6 @@ def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
         return out
 
     eval_step.forward = forward
+    eval_step.forward_units = forward_units
     eval_step.propose = propose
     return eval_step

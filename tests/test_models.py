@@ -280,3 +280,40 @@ def test_swin_train_step_stochastic_depth_rng(rng):
     train_step, _ = make_rpn_train_step(model, cfg, shape, (4, 8))
     state, metrics = train_step(state, batch, jax.random.PRNGKey(1))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_swin_fcos_eval_step_split_units_match_model(rng):
+    """make_fcos_eval_step's split Swin forward == FCOSOverNeRF.apply."""
+    from flax.core import FrozenDict
+
+    from nerf_rpn_tpu.models import fcos as fcos_lib
+    from nerf_rpn_tpu.models.fcos import FCOSConfig
+    from nerf_rpn_tpu.models.nerf_rpn import FCOSOverNeRF
+    from nerf_rpn_tpu.train.state import TrainState, make_optimizer
+    from nerf_rpn_tpu.train.steps import make_fcos_eval_step
+
+    shape = (16, 16, 16)
+    model = FCOSOverNeRF(backbone_type="swin_t", resolution=16, num_convs=1)
+    cfg = FCOSConfig(pre_nms_top_n=32, fpn_post_nms_top_n=16)
+    grids = jnp.asarray(rng.normal(size=(1, *shape, 4)).astype(np.float32))
+    variables = model.init(jax.random.PRNGKey(0), grids)
+    tx, _ = make_optimizer(1e-3, 10)
+    state = TrainState(step=jnp.zeros((), jnp.int32),
+                       params=variables["params"],
+                       batch_stats=variables.get("batch_stats", FrozenDict()),
+                       opt_state=None, tx=tx)
+    eval_step = make_fcos_eval_step(model, cfg, shape)
+    assert len(eval_step.forward_units) == 3
+    cls_f, reg_f, ctr_f, vox = eval_step.forward(state, grids)
+
+    _, rc, rr, rt = model.apply(variables, grids, train=False)
+    tol = dict(rtol=3e-5, atol=3e-5)
+    np.testing.assert_allclose(
+        np.asarray(cls_f), np.asarray(fcos_lib.flatten_fcos_outputs(rc, 1)),
+        **tol)
+    np.testing.assert_allclose(
+        np.asarray(reg_f),
+        np.asarray(fcos_lib.flatten_fcos_outputs(rr, cfg.reg_dim)), **tol)
+    np.testing.assert_allclose(
+        np.asarray(ctr_f), np.asarray(fcos_lib.flatten_fcos_outputs(rt, 1)),
+        **tol)
