@@ -26,7 +26,7 @@ PEAK_TFLOPS = 197.0   # v5e bf16
 PEAK_GBPS = 819.0
 
 
-def capture(trace_dir: str, jnp_attn: bool) -> None:
+def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False) -> None:
     import jax
     import jax.numpy as jnp
     from flax.core import FrozenDict
@@ -38,16 +38,31 @@ def capture(trace_dir: str, jnp_attn: bool) -> None:
         # force the XLA attention path in the split Swin eval units
         os.environ["NERF_RPN_TPU_FUSED_MIN_WINDOWS"] = "0"
 
-    from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
-    from nerf_rpn_tpu.models.rpn import RPNConfig
     from nerf_rpn_tpu.train.state import TrainState, make_optimizer
-    from nerf_rpn_tpu.train.steps import make_rpn_eval_step
 
-    shape = (208, 208, 144)
     rng = np.random.default_rng(0)
-    model = NeRFRPN(backbone_type="swin_s", resolution=max(shape),
-                    rotated=False, conv_depth=4, dtype=jnp.bfloat16)
-    cfg = RPNConfig(rotated=False)
+    if fcos:
+        from nerf_rpn_tpu.models.fcos import FCOSConfig
+        from nerf_rpn_tpu.models.nerf_rpn import FCOSOverNeRF
+        from nerf_rpn_tpu.train.steps import make_fcos_eval_step
+
+        shape = (160, 160, 160)
+        model = FCOSOverNeRF(backbone_type="swin_s", resolution=max(shape),
+                             rotated=True, dtype=jnp.bfloat16)
+        cfg = FCOSConfig(rotated=True)
+        make_step = lambda: make_fcos_eval_step(model, cfg, shape)
+        ori = jnp.asarray([list(shape)], jnp.int32)
+    else:
+        from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
+        from nerf_rpn_tpu.models.rpn import RPNConfig
+        from nerf_rpn_tpu.train.steps import make_rpn_eval_step
+
+        shape = (208, 208, 144)
+        model = NeRFRPN(backbone_type="swin_s", resolution=max(shape),
+                        rotated=False, conv_depth=4, dtype=jnp.bfloat16)
+        cfg = RPNConfig(rotated=False)
+        make_step = lambda: make_rpn_eval_step(model, cfg, shape)
+        ori = jnp.asarray([[200, 200, 130]], jnp.int32)
     grids = jnp.asarray(rng.uniform(0, 1, (1, *shape, 4)).astype(np.float32))
     shapes_v = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), grids[:, :32, :32, :32]))
@@ -58,11 +73,10 @@ def capture(trace_dir: str, jnp_attn: bool) -> None:
                        params=variables["params"],
                        batch_stats=variables.get("batch_stats", FrozenDict()),
                        opt_state=None, tx=tx)
-    eval_step = make_rpn_eval_step(model, cfg, shape)
+    eval_step = make_step()
     perturb = jax.jit(lambda g, c: g + c * 1e-20)
     summarize = jax.jit(
         lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9)
-    ori = jnp.asarray([[200, 200, 130]], jnp.int32)
 
     def step(carry):
         batch = {"grids": perturb(grids, carry), "ori_sizes": ori}
@@ -127,12 +141,15 @@ if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--jnp-attn", action="store_true",
                     help="force the XLA attention path (no Pallas kernel)")
+    ap.add_argument("--fcos", action="store_true",
+                    help="trace the rotated-FCOS bench workload instead")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--dir", default=None)
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
-    d = args.dir or ("/tmp/trace_fwd_jnp" if args.jnp_attn
-                     else "/tmp/trace_fwd")
+    d = args.dir or ("/tmp/trace_fcos" if args.fcos else
+                     "/tmp/trace_fwd_jnp" if args.jnp_attn else
+                     "/tmp/trace_fwd")
     if not args.report_only:
-        capture(d, args.jnp_attn)
+        capture(d, args.jnp_attn, fcos=args.fcos)
     report(d, args.top)

@@ -28,6 +28,35 @@ import flax.linen as nn
 normal_init = nn.initializers.normal(stddev=0.01)
 
 
+class PointConv(nn.Module):
+    """1x1x1 convolution as an explicit channels matmul.
+
+    Parameter tree is IDENTICAL to ``nn.Conv(features, (1, 1, 1))`` —
+    ``kernel`` (1, 1, 1, C, F) + ``bias`` (F,) — so checkpoints and the
+    torch converter are unchanged.  Lowering as dot_general instead of
+    conv lets XLA emit the result in a flat-friendly layout: the head
+    outputs feed ``reshape(B, -1, D)`` at the eval compile-unit boundary,
+    and the conv-tiled layout cost ~1 ms of relayout copies there
+    (``benchmarks/trace_forward.py``).
+    """
+
+    features: int
+    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
+    bias_init: nn.initializers.Initializer = nn.initializers.zeros
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        kernel = self.param(
+            "kernel", self.kernel_init,
+            (1, 1, 1, x.shape[-1], self.features))
+        bias = self.param("bias", self.bias_init, (self.features,))
+        y = jnp.einsum(
+            "...c,cf->...f", x.astype(self.dtype),
+            kernel[0, 0, 0].astype(self.dtype))
+        return y + bias.astype(self.dtype)
+
+
 class RPNHead3D(nn.Module):
     in_channels: int = 256
     num_anchors: int = 13
@@ -46,11 +75,11 @@ class RPNHead3D(nn.Module):
                     name=f"tower_{d}")
             for d in range(self.conv_depth)
         ]
-        cls_conv = nn.Conv(self.num_anchors, (1, 1, 1), kernel_init=normal_init,
-                           dtype=self.dtype, name="cls_logits")
-        bbox_conv = nn.Conv(self.num_anchors * reg_ch, (1, 1, 1),
-                            kernel_init=normal_init, dtype=self.dtype,
-                            name="bbox_pred")
+        cls_conv = PointConv(self.num_anchors, kernel_init=normal_init,
+                             dtype=self.dtype, name="cls_logits")
+        bbox_conv = PointConv(self.num_anchors * reg_ch,
+                              kernel_init=normal_init, dtype=self.dtype,
+                              name="bbox_pred")
         logits, deltas = [], []
         for f in features:
             t = f

@@ -308,8 +308,10 @@ def generate_proposals_levels(
     b = objectness[0].shape[0]
     n_levels = len(objectness)
 
-    # per-level top-k, then decode only the survivors; levels are PADDED to
-    # a common k so NMS can batch over (B, L) below
+    # per-level top-k (a stacked/vmapped radix across levels measured 3x
+    # SLOWER — vmapped whiles/gathers lockstep badly,
+    # benchmarks/microbench_topk.py), then decode only the survivors;
+    # levels are PADDED to a common k so NMS can batch over (B, L) below
     k_list = [min(cfg.pre_nms_top_n, o.shape[1]) for o in objectness]
     kmax = max(k_list)
     boxes_l, scores_l = [], []
