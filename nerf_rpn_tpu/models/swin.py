@@ -61,6 +61,21 @@ def _relative_position_index(window: tuple[int, int, int]) -> np.ndarray:
 
 
 @lru_cache(maxsize=None)
+def _relative_position_onehot(window: tuple[int, int, int]) -> np.ndarray:
+    """(N*N, (2w-1)^3) one-hot of :func:`_relative_position_index`.
+
+    ``table[idx]`` is a serialized TPU gather — ~1.4 ms per block at 4^3
+    windows in the traced FCOS forward (``benchmarks/trace_forward.py``);
+    as ``onehot @ table`` it is one tiny MXU matmul against a trace-time
+    constant."""
+    idx = _relative_position_index(window)
+    size = (2 * window[0] - 1) * (2 * window[1] - 1) * (2 * window[2] - 1)
+    onehot = np.zeros((idx.shape[0], size), np.float32)
+    onehot[np.arange(idx.shape[0]), idx] = 1.0
+    return onehot
+
+
+@lru_cache(maxsize=None)
 def _shift_attn_mask(
     pad_size: tuple[int, int, int],
     window: tuple[int, int, int],
@@ -152,8 +167,9 @@ class ShiftedWindowAttention3D(nn.Module):
             nn.initializers.truncated_normal(0.02),
             ((2 * wx - 1) * (2 * wy - 1) * (2 * wz - 1), self.num_heads),
         )
-        idx = _relative_position_index(self.window)
-        bias = table[idx].reshape(n, n, self.num_heads).transpose(2, 0, 1)
+        onehot = jnp.asarray(_relative_position_onehot(self.window),
+                             table.dtype)
+        bias = (onehot @ table).reshape(n, n, self.num_heads).transpose(2, 0, 1)
         mask = _shift_attn_mask(pad_size, self.window, shift)
 
         total_windows = windows.shape[0]
