@@ -91,7 +91,8 @@ def emit(metric, value, unit, **extra):
                       **extra}), flush=True)
 
 
-def bench_rpn(backbone, shape, metric, reps, mfu=False, **emit_extra):
+def bench_rpn(backbone, shape, metric, reps, mfu=False, batch=1,
+              **emit_extra):
     from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
     from nerf_rpn_tpu.models.rpn import RPNConfig
     from nerf_rpn_tpu.train.steps import make_rpn_eval_step
@@ -100,22 +101,23 @@ def bench_rpn(backbone, shape, metric, reps, mfu=False, **emit_extra):
                     rotated=False, conv_depth=4, dtype=jnp.bfloat16)
     cfg = RPNConfig(rotated=False)
     grids = jnp.asarray(np.random.default_rng(0).uniform(
-        0, 1, (1, *shape, 4)).astype(np.float32))
-    state = random_state(model, grids[:, :32, :32, :32])
+        0, 1, (batch, *shape, 4)).astype(np.float32))
+    state = random_state(model, grids[:1, :32, :32, :32])
     eval_step = make_rpn_eval_step(model, cfg, shape)
 
     perturb = jax.jit(lambda g, c: g + c * 1e-20)
     summarize = jax.jit(
         lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9)
-    ori = jnp.asarray([[min(s, o) for s, o in zip(shape, (200, 200, 130))]],
-                      jnp.int32)
+    ori = jnp.tile(jnp.asarray(
+        [[min(s, o) for s, o in zip(shape, (200, 200, 130))]], jnp.int32),
+        (batch, 1))
 
     def step(carry):
-        batch = {"grids": perturb(grids, carry), "ori_sizes": ori}
-        return summarize(eval_step(state, batch))
+        b = {"grids": perturb(grids, carry), "ori_sizes": ori}
+        return summarize(eval_step(state, b))
 
     mean_s = timed_chain(step, reps)
-    emit(metric, round(1.0 / mean_s, 4), "scenes/sec/chip", **emit_extra)
+    emit(metric, round(batch / mean_s, 4), "scenes/sec/chip", **emit_extra)
 
     if mfu:
         # forward-only time + XLA cost-analysis FLOPs -> model FLOP/s / peak
@@ -182,6 +184,10 @@ def main():
     bench_rpn("resnet", SHAPE_RPN,
               "resnet50_anchor_rpn_full_inference_throughput", reps=15)
     bench_fcos_rotated(reps=10)
+    # serving throughput: 4 scenes per dispatch amortises the latency-bound
+    # segments (the reference model also takes a list of scenes)
+    bench_rpn("swin_s", SHAPE_RPN,
+              "swin_s_anchor_rpn_batch4_throughput", reps=10, batch=4)
 
     # headline: measure, then emit its MFU line first so the throughput
     # line (with vs_baseline) is LAST on stdout
