@@ -28,35 +28,6 @@ import flax.linen as nn
 normal_init = nn.initializers.normal(stddev=0.01)
 
 
-class PointConv(nn.Module):
-    """1x1x1 convolution as an explicit channels matmul.
-
-    Parameter tree is IDENTICAL to ``nn.Conv(features, (1, 1, 1))`` —
-    ``kernel`` (1, 1, 1, C, F) + ``bias`` (F,) — so checkpoints and the
-    torch converter are unchanged.  Lowering as dot_general instead of
-    conv lets XLA emit the result in a flat-friendly layout: the head
-    outputs feed ``reshape(B, -1, D)`` at the eval compile-unit boundary,
-    and the conv-tiled layout cost ~1 ms of relayout copies there
-    (``benchmarks/trace_forward.py``).
-    """
-
-    features: int
-    kernel_init: nn.initializers.Initializer = nn.initializers.lecun_normal()
-    bias_init: nn.initializers.Initializer = nn.initializers.zeros
-    dtype: jnp.dtype = jnp.float32
-
-    @nn.compact
-    def __call__(self, x: jax.Array) -> jax.Array:
-        kernel = self.param(
-            "kernel", self.kernel_init,
-            (1, 1, 1, x.shape[-1], self.features))
-        bias = self.param("bias", self.bias_init, (self.features,))
-        y = jnp.einsum(
-            "...c,cf->...f", x.astype(self.dtype),
-            kernel[0, 0, 0].astype(self.dtype))
-        return y + bias.astype(self.dtype)
-
-
 class RPNHead3D(nn.Module):
     in_channels: int = 256
     num_anchors: int = 13
@@ -75,18 +46,37 @@ class RPNHead3D(nn.Module):
                     name=f"tower_{d}")
             for d in range(self.conv_depth)
         ]
-        cls_conv = PointConv(self.num_anchors, kernel_init=normal_init,
-                             dtype=self.dtype, name="cls_logits")
-        bbox_conv = PointConv(self.num_anchors * reg_ch,
-                              kernel_init=normal_init, dtype=self.dtype,
-                              name="bbox_pred")
+        # both prediction heads consume the same tower output: run them as
+        # ONE channels matmul (kernels concatenated at trace time; the
+        # parameter tree is identical to two separate PointConvs) so the
+        # (B, X, Y, Z, 256) tower output is read once, not twice
+        class PointParams(nn.Module):
+            features: int
+
+            @nn.compact
+            def __call__(self, in_features):
+                k = self.param("kernel", normal_init,
+                               (1, 1, 1, in_features, self.features))
+                b = self.param("bias", nn.initializers.zeros,
+                               (self.features,))
+                return k, b
+
+        a = self.num_anchors
+        cls_p = PointParams(a, name="cls_logits")
+        bbox_p = PointParams(a * reg_ch, name="bbox_pred")
         logits, deltas = [], []
         for f in features:
             t = f
             for conv in tower:
                 t = nn.relu(conv(t))
-            logits.append(cls_conv(t))
-            deltas.append(bbox_conv(t))
+            kc, bc = cls_p(t.shape[-1])
+            kb, bb = bbox_p(t.shape[-1])
+            k = jnp.concatenate([kc, kb], axis=-1)[0, 0, 0]
+            b = jnp.concatenate([bc, bb], axis=0)
+            y = jnp.einsum("...c,cf->...f", t.astype(self.dtype),
+                           k.astype(self.dtype)) + b.astype(self.dtype)
+            logits.append(y[..., :a])
+            deltas.append(y[..., a:])
         return logits, deltas
 
 
@@ -140,22 +130,53 @@ class FCOSHead3D(nn.Module):
 
         cls_tower = make_tower("cls_tower")
         bbox_tower = make_tower("bbox_tower")
-        cls_conv = nn.Conv(1, (3, 3, 3), padding=1, kernel_init=normal_init,
-                           bias_init=bias_init, dtype=self.dtype,
-                           name="cls_logits")
-        ctr_conv = nn.Conv(1, (3, 3, 3), padding=1, kernel_init=normal_init,
-                           dtype=self.dtype, name="centerness")
-        bbox_conv = nn.Conv(reg_ch, (3, 3, 3), padding=1,
-                            kernel_init=normal_init, dtype=self.dtype,
-                            name="bbox_pred")
+
+        # The three 3^3 prediction convs have 1/1/6-8 output channels —
+        # individually they run at 0.9-6% MFU and each re-reads the full
+        # tower output (trace_forward.py --fcos).  Convs sharing a tower
+        # input are fused into ONE conv by concatenating their kernels at
+        # trace time; the parameter tree (cls_logits/centerness/bbox_pred
+        # {kernel, bias}) is identical to three nn.Conv modules.
+        class Conv3Params(nn.Module):
+            features: int
+            bias_init_: nn.initializers.Initializer = nn.initializers.zeros
+
+            @nn.compact
+            def __call__(self, in_features):
+                k = self.param("kernel", normal_init,
+                               (3, 3, 3, in_features, self.features))
+                b = self.param("bias", self.bias_init_, (self.features,))
+                return k, b
+
+        cls_p = Conv3Params(1, bias_init_=bias_init, name="cls_logits")
+        ctr_p = Conv3Params(1, name="centerness")
+        bbox_p = Conv3Params(reg_ch, name="bbox_pred")
+        dt = self.dtype
+
+        def conv3(x, kernels_biases):
+            k = jnp.concatenate([k for k, _ in kernels_biases], axis=-1)
+            b = jnp.concatenate([b for _, b in kernels_biases], axis=0)
+            y = jax.lax.conv_general_dilated(
+                x.astype(dt), k.astype(dt), window_strides=(1, 1, 1),
+                padding=((1, 1),) * 3,
+                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+            return y + b.astype(dt)
 
         cls_out, reg_out, ctr_out = [], [], []
         for lvl, f in enumerate(features):
             ct = cls_tower(f)
             bt = bbox_tower(f)
-            cls_out.append(cls_conv(ct))
-            ctr_out.append(ctr_conv(bt if self.centerness_on_reg else ct))
-            reg = bbox_conv(bt)
+            c_in = f.shape[-1]
+            if self.centerness_on_reg:
+                cls_out.append(conv3(ct, [cls_p(c_in)]))
+                merged = conv3(bt, [ctr_p(c_in), bbox_p(c_in)])
+                ctr_out.append(merged[..., :1])
+                reg = merged[..., 1:]
+            else:
+                merged = conv3(ct, [cls_p(c_in), ctr_p(c_in)])
+                cls_out.append(merged[..., :1])
+                ctr_out.append(merged[..., 1:2])
+                reg = conv3(bt, [bbox_p(c_in)])
             # distances (first 6 channels) are scaled; OBB midpoint offsets
             # (channels 6:8) pass through the Scale but not the stride/exp
             reg = Scale(name=f"scale_{lvl}")(reg)
