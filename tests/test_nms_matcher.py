@@ -223,3 +223,45 @@ def test_focal_loss_torchvision_value():
     expected = (alpha_t * expected).numpy()
     got = np.asarray(sigmoid_focal_loss(jnp.asarray(logits), jnp.asarray(targets)))
     np.testing.assert_allclose(got, expected, rtol=1e-4)
+
+
+def test_suppression_graph_kernel_parity(rng):
+    """Pallas packed suppression graph == jnp reference, incl. padding."""
+    from nerf_rpn_tpu.ops.nms_graph import (
+        suppression_graph,
+        suppression_graph_reference,
+    )
+
+    n = 512
+    boxes = np.zeros((n, 6), np.float32)
+    lo = rng.uniform(0, 150, (n, 3))
+    sz = rng.uniform(2, 40, (n, 3))
+    boxes[:, :3] = lo
+    boxes[:, 3:] = lo + sz
+    boxes[480:] = 0.0  # padded rows never overlap anything
+    jb = jnp.asarray(boxes)
+    ref = suppression_graph_reference(jb, 0.3)
+    out = suppression_graph(jb, 0.3, row_tile=128, interpret=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_suppression_graph_kernel_vmap(rng):
+    """The kernel must stay exact under vmap (the per-(scene, level) NMS
+    batching in generate_proposals_levels)."""
+    import jax
+
+    from nerf_rpn_tpu.ops.nms_graph import (
+        suppression_graph,
+        suppression_graph_reference,
+    )
+
+    b, n = 3, 256
+    lo = rng.uniform(0, 100, (b, n, 3))
+    boxes = np.concatenate([lo, lo + rng.uniform(2, 30, (b, n, 3))],
+                           -1).astype(np.float32)
+    jb = jnp.asarray(boxes)
+    ref = jax.vmap(lambda x: suppression_graph_reference(x, 0.25))(jb)
+    out = jax.vmap(
+        lambda x: suppression_graph(x, 0.25, row_tile=128, interpret=True)
+    )(jb)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
