@@ -26,7 +26,8 @@ PEAK_TFLOPS = 197.0   # v5e bf16
 PEAK_GBPS = 819.0
 
 
-def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False) -> None:
+def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False,
+            backbone: str = "swin_s") -> None:
     import jax
     import jax.numpy as jnp
     from flax.core import FrozenDict
@@ -58,7 +59,7 @@ def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False) -> None:
         from nerf_rpn_tpu.train.steps import make_rpn_eval_step
 
         shape = (208, 208, 144)
-        model = NeRFRPN(backbone_type="swin_s", resolution=max(shape),
+        model = NeRFRPN(backbone_type=backbone, resolution=max(shape),
                         rotated=False, conv_depth=4, dtype=jnp.bfloat16)
         cfg = RPNConfig(rotated=False)
         make_step = lambda: make_rpn_eval_step(model, cfg, shape)
@@ -143,13 +144,16 @@ if __name__ == "__main__":
                     help="force the XLA attention path (no Pallas kernel)")
     ap.add_argument("--fcos", action="store_true",
                     help="trace the rotated-FCOS bench workload instead")
+    ap.add_argument("--backbone", default="swin_s",
+                    help="anchor-RPN backbone to trace (e.g. resnet)")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--dir", default=None)
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
     d = args.dir or ("/tmp/trace_fcos" if args.fcos else
                      "/tmp/trace_fwd_jnp" if args.jnp_attn else
-                     "/tmp/trace_fwd")
+                     f"/tmp/trace_fwd_{args.backbone}" if
+                     args.backbone != "swin_s" else "/tmp/trace_fwd")
     if not args.report_only:
-        capture(d, args.jnp_attn, fcos=args.fcos)
+        capture(d, args.jnp_attn, fcos=args.fcos, backbone=args.backbone)
     report(d, args.top)

@@ -26,6 +26,56 @@ import flax.linen as nn
 from nerf_rpn_tpu.models.fpn import upsample_nearest
 
 
+class StemConv3D(nn.Module):
+    """7^3 stride-2 stem conv; parameters identical to
+    ``nn.Conv(features, (7,7,7), strides=(2,2,2), padding=3,
+    use_bias=False)`` (``kernel`` (7,7,7,C,F)).
+
+    TPU note: a direct C_in=4 conv is catastrophic — the 4-lane channel
+    dim wastes 97% of the VPU/MXU lanes, and the stem measured 16 ms of
+    the resnet50 bench forward at 9.5% MFU (``trace_forward.py
+    --backbone resnet``).  When the z extent is even, the kernel's z
+    window is UNFOLDED into channels: 8 z-taps x C channels become the
+    lane dim (x_aug[..., z', t*C+c] = x_padded[..., 2z'+t, c]), the kernel
+    reshapes to (7, 7, 1, 8C, F) with a zero tap-7 plane, and the conv
+    runs with strides (2, 2, 1) — same math, 8x the lanes.  Falls back to
+    the plain conv for odd z.
+    """
+
+    features: int
+    use_bias: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        b, sx, sy, sz, c = x.shape
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (7, 7, 7, c, self.features))
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,))
+                if self.use_bias else None)
+        if sz % 2:
+            y = jax.lax.conv_general_dilated(
+                x.astype(self.dtype), kernel.astype(self.dtype),
+                window_strides=(2, 2, 2), padding=((3, 3),) * 3,
+                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+        else:
+            zout = sz // 2
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (3, 4), (0, 0)))
+            taps = [
+                jax.lax.slice_in_dim(xp, t, t + 2 * zout, stride=2, axis=3)
+                for t in range(8)
+            ]
+            x_aug = jnp.concatenate(taps, axis=-1)      # (B, X, Y, Z/2, 8C)
+            k8 = jnp.pad(kernel, ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
+            k8 = k8.reshape(7, 7, 1, 8 * c, self.features)  # taps-major
+            y = jax.lax.conv_general_dilated(
+                x_aug.astype(self.dtype), k8.astype(self.dtype),
+                window_strides=(2, 2, 1),
+                padding=((3, 3), (3, 3), (0, 0)),
+                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+        return y + bias.astype(self.dtype) if bias is not None else y
+
+
 class Bottleneck(nn.Module):
     """1x1 (stride s) -> 3x3 -> 1x1 bottleneck, expansion 4, BN after each."""
 
@@ -87,8 +137,8 @@ class ResNetFPN256(nn.Module):
             axis_name=self.bn_axis_name if train else None,
             name="stem_bn",
         )
-        y = nn.Conv(self.base_width, (7, 7, 7), strides=(2, 2, 2), padding=3,
-                    use_bias=False, dtype=self.dtype, name="stem_conv")(x)
+        y = StemConv3D(self.base_width, dtype=self.dtype,
+                       name="stem_conv")(x)
         y = nn.relu(bn(y))
         if self.is_max_pool:
             y = nn.max_pool(y, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)))

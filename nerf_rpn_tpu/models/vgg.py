@@ -76,9 +76,22 @@ class VGGFPN(nn.Module):
             ds = cbr(ds, 32, "ds1", strides=(2, 2, 2))
             x_skip = cbr(ds, 128, "ds2", kernel=1)
 
-        # stem
+        # stem (z-unfolded 7^3/2 conv — a direct C_in=4 conv wastes 97% of
+        # the lanes and cost 16 ms in the resnet bench forward; see
+        # resnet.StemConv3D.  Identical params: stem_conv/{kernel, bias}.)
         if self.input_size >= 160:
-            y = cbr(x, 64, "stem", strides=(2, 2, 2), kernel=7)
+            from nerf_rpn_tpu.models.resnet import StemConv3D
+
+            y = StemConv3D(64, use_bias=True, dtype=self.dtype,
+                           name="stem_conv")(x)
+            if self.batch_norm:
+                y = nn.BatchNorm(
+                    use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                    dtype=self.dtype,
+                    axis_name=self.bn_axis_name if train else None,
+                    name="stem_bn",
+                )(y)
+            y = nn.relu(y)
             y = nn.max_pool(y, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)))
         else:
             y = cbr(x, 64, "stem", kernel=7)

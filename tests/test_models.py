@@ -317,3 +317,27 @@ def test_swin_fcos_eval_step_split_units_match_model(rng):
     np.testing.assert_allclose(
         np.asarray(ctr_f), np.asarray(fcos_lib.flatten_fcos_outputs(rt, 1)),
         **tol)
+
+
+def test_stem_conv_unfold_matches_plain(rng):
+    """StemConv3D's z-unfolded formulation == the plain 7^3/2 conv (it is
+    the C_in=4 lane fix for the resnet/vgg stems; resnet bench forward
+    went 45 -> 33 ms/scene)."""
+    from nerf_rpn_tpu.models.resnet import StemConv3D
+
+    for shape, use_bias in [((1, 20, 18, 16, 4), False),
+                            ((1, 16, 16, 15, 4), True),   # odd z fallback
+                            ((2, 8, 12, 10, 3), True)]:
+        x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
+        stem = StemConv3D(8, use_bias=use_bias)
+        v = stem.init(jax.random.PRNGKey(0), x)
+        y = stem.apply(v, x)
+        ref = jax.lax.conv_general_dilated(
+            x, v["params"]["kernel"], window_strides=(2, 2, 2),
+            padding=((3, 3),) * 3,
+            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+        if use_bias:
+            ref = ref + v["params"]["bias"]
+        assert y.shape == ref.shape
+        np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                                   rtol=2e-5, atol=2e-5)
