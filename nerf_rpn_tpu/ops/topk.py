@@ -24,13 +24,10 @@ full sort's O(n log n) compare-exchange passes.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 
 _CHUNK = 131072
-_NEG = -jnp.inf
 
 
 def _monotone_keys(x: jax.Array) -> jax.Array:

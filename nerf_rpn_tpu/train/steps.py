@@ -27,6 +27,47 @@ def level_shapes_for(mesh_shape: Sequence[int], strides: Sequence[int]):
     return [tuple(-(-int(m) // s) for m in mesh_shape) for s in strides]
 
 
+def _swin_split_units(model):
+    """Swin-backbone eval compile units, or ``None`` for other backbones.
+
+    Swin inference runs as THREE compile units: [patch-embed conv] |
+    [conv-free stages, Pallas window attention ON] | [FPN + head convs].
+    The Pallas kernel wins ~2x at block scale but loses ~5 ms when convs
+    share its XLA program (layout-assignment poison, see
+    ShiftedWindowAttention3D); in its own conv-free unit it wins ~2.8 ms at
+    the bench shape (benchmarks/microbench_split_jits.py).  Returns
+    (fwd_embed jit, fwd_stages jit, neck apply) — the caller wraps ``neck``
+    plus its head into the third jit.  The
+    ``NERF_RPN_TPU_FUSED_MIN_WINDOWS`` env var (0 = XLA attention) is the
+    experiment knob used by benchmarks/trace_forward.py --jnp-attn.
+    """
+    import os
+
+    from nerf_rpn_tpu.models.swin import SWIN_VARIANTS, make_swin_fpn
+
+    if model.backbone_type not in SWIN_VARIANTS:
+        return None
+    fused_min = int(os.environ.get("NERF_RPN_TPU_FUSED_MIN_WINDOWS", "128"))
+    bb = make_swin_fpn(model.backbone_type, dtype=model.dtype,
+                       fused_min_windows=fused_min)
+
+    @jax.jit
+    def fwd_embed(state, grids):
+        return bb.apply({"params": state.params["backbone"]}, grids,
+                        stage="embed")
+
+    @jax.jit
+    def fwd_stages(state, tokens):
+        return bb.apply({"params": state.params["backbone"]}, tokens,
+                        stage="stages")
+
+    def neck(state, stage_feats):
+        return bb.apply({"params": state.params["backbone"]}, stage_feats,
+                        stage="neck")
+
+    return fwd_embed, fwd_stages, neck
+
+
 # ---------------------------------------------------------------------------
 # Anchor RPN
 # ---------------------------------------------------------------------------
@@ -118,42 +159,18 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
         vox = rpn_lib.voxel_objectness_scores(logits[: len(shapes)])
         return feats[: len(shapes)], obj_l, dl_l, vox
 
-    from nerf_rpn_tpu.models.swin import SWIN_VARIANTS, make_swin_fpn
-
-    # experiment knob: 0 disables the Pallas attention kernel in the split
-    # Swin eval path (used by benchmarks/trace_forward.py --jnp-attn)
-    import os as _os
-    fused_min = int(_os.environ.get("NERF_RPN_TPU_FUSED_MIN_WINDOWS", "128"))
-
-    if model.backbone_type in SWIN_VARIANTS:
-        # Swin inference runs as THREE compile units: [patch-embed conv] |
-        # [conv-free stages, Pallas window attention ON] | [FPN + head
-        # convs].  The Pallas kernel wins ~2x at block scale but loses ~5 ms
-        # when convs share its XLA program (layout-assignment poison, see
-        # ShiftedWindowAttention3D); in its own conv-free unit it wins
-        # ~2.8 ms at the bench shape (benchmarks/microbench_split_jits.py).
+    split = _swin_split_units(model)
+    if split is not None:
         from nerf_rpn_tpu.models.heads import RPNHead3D
 
-        bb = make_swin_fpn(model.backbone_type, dtype=model.dtype,
-                           fused_min_windows=fused_min)
+        fwd_embed, fwd_stages, neck = split
         head = RPNHead3D(in_channels=256, num_anchors=model.num_anchors,
                          conv_depth=model.conv_depth, rotate=model.rotated,
                          dtype=model.dtype)
 
         @jax.jit
-        def fwd_embed(state, grids):
-            return bb.apply({"params": state.params["backbone"]}, grids,
-                            stage="embed")
-
-        @jax.jit
-        def fwd_stages(state, tokens):
-            return bb.apply({"params": state.params["backbone"]}, tokens,
-                            stage="stages")
-
-        @jax.jit
         def fwd_neck_head(state, stage_feats):
-            pyr = bb.apply({"params": state.params["backbone"]},
-                           stage_feats, stage="neck")
+            pyr = neck(state, stage_feats)
             logits, deltas = head.apply(
                 {"params": state.params["rpn_head"]}, list(pyr))
             return _flatten(list(pyr), logits, deltas,
@@ -418,18 +435,11 @@ def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
         vox = fcos_lib.fcos_voxel_scores(cls, ctr)
         return cls_f, reg_f, ctr_f, vox
 
-    from nerf_rpn_tpu.models.swin import SWIN_VARIANTS, make_swin_fpn
-
-    import os as _os
-    fused_min = int(_os.environ.get("NERF_RPN_TPU_FUSED_MIN_WINDOWS", "128"))
-
-    if model.backbone_type in SWIN_VARIANTS:
-        # same three-compile-unit split as make_rpn_eval_step: the Pallas
-        # window-attention kernel only wins in a conv-free program
+    split = _swin_split_units(model)
+    if split is not None:
         from nerf_rpn_tpu.models.heads import FCOSHead3D
 
-        bb = make_swin_fpn(model.backbone_type, dtype=model.dtype,
-                           fused_min_windows=fused_min)
+        fwd_embed, fwd_stages, neck = split
         head = FCOSHead3D(in_channels=256, num_convs=model.num_convs,
                           rotate=model.rotated,
                           centerness_on_reg=model.centerness_on_reg,
@@ -438,19 +448,8 @@ def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
                           dtype=model.dtype)
 
         @jax.jit
-        def fwd_embed(state, grids):
-            return bb.apply({"params": state.params["backbone"]}, grids,
-                            stage="embed")
-
-        @jax.jit
-        def fwd_stages(state, tokens):
-            return bb.apply({"params": state.params["backbone"]}, tokens,
-                            stage="stages")
-
-        @jax.jit
         def fwd_neck_head(state, stage_feats):
-            pyr = bb.apply({"params": state.params["backbone"]},
-                           stage_feats, stage="neck")
+            pyr = neck(state, stage_feats)
             cls, reg, ctr = head.apply(
                 {"params": state.params["fcos_head"]}, list(pyr),
                 train=False)
