@@ -103,7 +103,7 @@ def sample_train_frames(frames, num_train: int, score_fn):
     return train, scores
 
 
-def sample_val_frames(frames, train, scores, num_val: int, score_fn=None):
+def sample_val_frames(frames, train, scores, num_val: int, score_fn):
     """Sharpest non-train frame of each of ``num_val`` uniform chunks over
     the full frame list (reference ``prepare_scannet.py:76-85``); empty
     chunks are skipped.  Frames the train pass never scored (the tail the
@@ -278,7 +278,13 @@ def write_ground_truth_poses(
 def build_train_images_txt(in_lines, train_files, name2dbid) -> list[str]:
     """Rebuild ``images.txt`` for the train subset: keep comments, keep only
     train images, and replace each image id with its id in the train-image
-    database (reference ``run_colmap.process``, ``run_colmap.py:222-239``)."""
+    database (reference ``run_colmap.process``, ``run_colmap.py:222-239``).
+
+    Each kept image line is followed by an EMPTY POINTS2D line: the COLMAP
+    images.txt format is two lines per image and ``colmap
+    point_triangulator`` reads line pairs (the reference writes
+    ``" ".join(split_line) + "\\n"`` where the joined line already ends in
+    ``\\n``, producing the same blank second line)."""
     out = []
     for line in in_lines:
         split_line = line.split(" ")
@@ -288,7 +294,7 @@ def build_train_images_txt(in_lines, train_files, name2dbid) -> list[str]:
         for train_file in train_files:
             if " " + train_file in line:
                 split_line[0] = str(name2dbid[train_file])
-                out.append(" ".join(split_line).rstrip("\n") + "\n")
+                out.append(" ".join(split_line).rstrip("\n") + "\n\n")
                 break
     return out
 

@@ -305,6 +305,14 @@ def test_build_train_images_txt():
     assert data[1].split()[0] == "8" and data[1].rstrip().endswith("300.jpg")
     assert not any("200.jpg" in l for l in out)
     assert out[0].startswith("#") and out[1].startswith("#")
+    # COLMAP images.txt is two lines per image: every kept image line must
+    # end with a blank POINTS2D line (point_triangulator reads line pairs)
+    for l in data:
+        assert l.endswith(".jpg\n\n"), l
+    text = "".join(out)
+    body = [l for l in text.splitlines() if not l.startswith("#")]
+    assert body == [data[0].rstrip("\n").rstrip(), "",
+                    data[1].rstrip("\n").rstrip(), ""]
 
 
 # ---------------------------------------------------------------------------

@@ -232,3 +232,64 @@ def test_build_sample_grid_centres():
     assert res.tolist() == [4, 4, 4]
     np.testing.assert_allclose(pts[0], [0.5, 0.5, 0.5])
     np.testing.assert_allclose(pts[-1], [3.5, 3.5, 3.5])
+
+
+# ---------------------------------------------------------------------------
+# visualize_bbox (box overlay projection)
+# ---------------------------------------------------------------------------
+
+
+def test_bbox_projection_center():
+    """A box straight ahead of an identity NeRF camera projects to the image
+    centre, and its wireframe rasterizes into the overlay."""
+    from nerf_rpn_tpu.tools.visualize_bbox import (
+        draw_line,
+        get_obb_corners,
+        get_world_to_proj_matrix,
+        project_points,
+        render_bbox_overlay,
+    )
+
+    frame = {"transform_matrix": np.eye(4).tolist(), "fy": 240.0, "fx": 240.0}
+    h, w = 480, 640
+    world2proj = get_world_to_proj_matrix(frame, w, h)
+    # NeRF cameras look along -z: a point at (0, 0, -2) is dead ahead
+    pts = project_points(world2proj, np.array([[0.0, 0.0, -2.0]]))
+    assert pts.shape == (1, 2)
+    np.testing.assert_allclose(pts[0], [w // 2, h // 2], atol=1)
+    # a behind-the-camera point is dropped
+    assert project_points(world2proj, np.array([[0.0, 0.0, 2.0]])).shape[0] == 0
+
+    corners = get_obb_corners([0.0, 0.0, -2.0, 0.6, 0.6, 0.6, 0.3])
+    assert corners.shape == (8, 3)
+    img = np.zeros((h, w, 3), np.uint8)
+    render_bbox_overlay(img, world2proj, corners, color=(255, 0, 0))
+    ys, xs = np.nonzero(img[..., 0])
+    assert len(ys) > 50  # edges actually drew
+    # all drawn pixels cluster around the centre (box is small + centred)
+    assert abs(xs.mean() - w / 2) < 60 and abs(ys.mean() - h / 2) < 60
+
+    # draw_line clips out-of-bounds cleanly
+    img2 = np.zeros((8, 8, 3), np.uint8)
+    draw_line(img2, (-5.0, -5.0), (20.0, 20.0), (0, 255, 0))
+    assert img2[..., 1].any()
+
+
+def test_visualize_bbox_process_scene(tmp_path):
+    from nerf_rpn_tpu.tools.visualize_bbox import process_scene
+
+    frame = {"transform_matrix": np.eye(4).tolist(), "fy": 240.0,
+             "fx": 240.0, "file_path": "images/0.jpg"}
+    instances = {"instances": [
+        {"label": "chair", "obb": [0.0, 0.0, -2.0, 0.5, 0.5, 0.5, 0.0]},
+        {"label": "table", "min_pt": [-0.4, -0.4, -2.4],
+         "max_pt": [0.4, 0.4, -1.6], "obb": [0, 0, -2.0, 0.8, 0.8, 0.8, 0]},
+    ]}
+    written = process_scene(instances, {"frames": [frame]}, str(tmp_path),
+                            str(tmp_path / "out"))
+    assert len(written) == 1 and written[0].endswith("0.png")
+    # the PNG decodes and contains non-black (drawn) pixels
+    from PIL import Image
+
+    arr = np.asarray(Image.open(written[0]))
+    assert arr.shape[-1] == 3 and arr.any()
