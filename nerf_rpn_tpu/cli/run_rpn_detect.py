@@ -30,7 +30,7 @@ from nerf_rpn_tpu.evaluation.metrics import (
 )
 from nerf_rpn_tpu.models.detector import RCNNConfig, RCNNHead
 from nerf_rpn_tpu.models.nerf_rpn import build_backbone
-from nerf_rpn_tpu.ops.roi_align import map_rois_to_levels
+from nerf_rpn_tpu.ops.roi_align import map_rois_to_levels_np
 from nerf_rpn_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
 from nerf_rpn_tpu.train.state import make_optimizer
@@ -163,12 +163,13 @@ class Trainer:
             box_dim=self.box_dim,
         )
         if self.args.remap:
+            # numpy on purpose: this runs on the host per batch, and a jnp
+            # call here would cost a device round-trip per training batch
             n = len(self.spatial_scales)
-            batch["roi_levels"] = np.asarray(
-                map_rois_to_levels(jnp.asarray(batch["rois"]), 0, n - 1,
-                                   canonical_scale=self.cfg.canonical_scale,
-                                   canonical_level=self.cfg.canonical_level)
-            )
+            batch["roi_levels"] = map_rois_to_levels_np(
+                batch["rois"], 0, n - 1,
+                canonical_scale=self.cfg.canonical_scale,
+                canonical_level=self.cfg.canonical_level)
         return batch
 
     def init_state(self, total_steps, sample_batch):

@@ -182,3 +182,37 @@ def map_rois_to_levels(
     lvl = jnp.floor(canonical_level + jnp.log2(s / canonical_scale) + eps)
     lvl = jnp.clip(lvl, k_min, k_max)
     return (lvl - k_min).astype(jnp.int32)
+
+
+def map_rois_to_levels_np(
+    boxes,
+    k_min: int,
+    k_max: int,
+    canonical_scale: int = 160,
+    canonical_level: int = 4,
+    eps: float = 1e-6,
+):
+    """Numpy twin of :func:`map_rois_to_levels` for HOST input pipelines.
+
+    The stage-2 collate runs on the host per training batch; calling the jnp
+    version there costs a device round-trip per batch (~26 ms through this
+    image's TPU tunnel).  Same float32 arithmetic, same results
+    (``test_second_stage.py`` asserts elementwise equality vs the jnp
+    version).
+    """
+    import numpy as np
+
+    boxes = np.asarray(boxes, np.float32)
+    if boxes.shape[-1] == 7:
+        vol = np.prod(boxes[..., 3:6], axis=-1)
+    else:
+        vol = np.prod(boxes[..., 3:6] - boxes[..., 0:3], axis=-1)
+    s = np.cbrt(vol)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        lvl = np.floor(
+            np.float32(canonical_level)
+            + np.log2(s / np.float32(canonical_scale))
+            + np.float32(eps))
+    lvl = np.clip(np.nan_to_num(lvl, nan=k_min, neginf=k_min, posinf=k_max),
+                  k_min, k_max)
+    return (lvl - k_min).astype(np.int32)

