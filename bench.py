@@ -51,9 +51,10 @@ PEAK_FLOPS = {
 }
 
 
-def random_state(model, sample, seed=0):
+def random_state(model, sample, seed=0, with_opt=False):
     """TrainState with host-generated random params (no device-side init
-    compile; batch_stats left at ones — benchmarks don't need real stats)."""
+    compile; batch_stats left at ones — benchmarks don't need real stats).
+    ``with_opt``: also init the optimizer state (train-step benches)."""
     from flax.core import FrozenDict
 
     from nerf_rpn_tpu.train.state import TrainState, make_optimizer
@@ -66,8 +67,9 @@ def random_state(model, sample, seed=0):
     bs = shapes.get("batch_stats", FrozenDict())
     bs = jax.tree.map(lambda s: jnp.ones(s.shape, s.dtype), bs)
     tx, _ = make_optimizer(1e-3, 10)
+    opt_state = jax.jit(tx.init)(params) if with_opt else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
-                      batch_stats=bs, opt_state=None, tx=tx)
+                      batch_stats=bs, opt_state=opt_state, tx=tx)
 
 
 def timed_chain(step, reps):
@@ -151,6 +153,70 @@ def bench_rpn(backbone, shape, metric, reps, mfu=False, batch=1,
                  device_kind=jax.devices()[0].device_kind)
 
 
+def bench_rpn_train(reps=10, batch=2):
+    """Training-step throughput, the reference's dominant workload
+    (``train.sh:8-27``: 200 epochs, Swin backbone, --rotated_bbox, batch
+    8 over 4 GPUs = 2/device).  Full step: forward + OBB target assignment
+    + losses + backward + AdamW update.  Steps chain through the returned
+    TrainState (each step consumes the previous step's params), so the
+    timing needs no block_until_ready."""
+    from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
+    from nerf_rpn_tpu.models.rpn import RPNConfig
+    from nerf_rpn_tpu.train.steps import make_rpn_train_step
+
+    shape = SHAPE_FCOS  # train.sh resolution 160
+    model = NeRFRPN(backbone_type="swin_s", resolution=max(shape),
+                    rotated=True, conv_depth=4, dtype=jnp.bfloat16)
+    cfg = RPNConfig(rotated=True)
+    rng = np.random.default_rng(0)
+    n_gt = 16
+    ctr = rng.uniform(20, 140, (batch, n_gt, 3))
+    size = rng.uniform(8, 40, (batch, n_gt, 3))
+    theta = rng.uniform(-np.pi / 2, np.pi / 2, (batch, n_gt, 1))
+    batch_d = {
+        "grids": jnp.asarray(
+            rng.uniform(0, 1, (batch, *shape, 4)).astype(np.float32)),
+        "ori_sizes": jnp.full((batch, 3), 160, jnp.int32),
+        "gt_boxes": jnp.asarray(
+            np.concatenate([ctr, size, theta], -1).astype(np.float32)),
+        "gt_mask": jnp.ones((batch, n_gt), bool),
+    }
+    state = random_state(model, batch_d["grids"][:1, :32, :32, :32],
+                         with_opt=True)
+    train_step, _ = make_rpn_train_step(model, cfg, shape)
+    key = jax.random.PRNGKey(0)
+
+    def run(state, reps):
+        loss = None
+        for i in range(reps):
+            state, metrics = train_step(state, batch_d,
+                                        jax.random.fold_in(key, i))
+            loss = metrics["loss"]
+        float(loss)  # one fetch; state-chaining orders the steps
+        return state
+
+    state = run(state, WARMUP)       # compile + warm
+    state = run(state, 4)            # throwaway timed loop (tunnel)
+    t0 = time.perf_counter()
+    state = run(state, reps)
+    step_s = (time.perf_counter() - t0) / reps
+
+    extra = {"step_ms": round(step_s * 1e3, 2), "batch": batch}
+    try:
+        ca = train_step.lower(state, batch_d, key).compile().cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+        if flops and peak:
+            extra["train_mfu_pct"] = round(flops / step_s / peak * 100, 2)
+            extra["step_tflops"] = round(flops / 1e12, 3)
+    except Exception:
+        pass
+    emit("swin_s_obb_rpn_train_step_throughput",
+         round(batch / step_s, 4), "scenes/sec/chip", **extra)
+
+
 def bench_fcos_rotated(reps):
     from nerf_rpn_tpu.models.fcos import FCOSConfig
     from nerf_rpn_tpu.models.nerf_rpn import FCOSOverNeRF
@@ -183,6 +249,13 @@ def main():
 
     bench_rpn("resnet", SHAPE_RPN,
               "resnet50_anchor_rpn_full_inference_throughput", reps=15)
+    # BASELINE config #1: VGG + anchor RPN (AF = the reference's blessed
+    # cfg; EF = the VGG19-depth variant)
+    bench_rpn("vgg_AF", SHAPE_RPN,
+              "vgg_AF_anchor_rpn_full_inference_throughput", reps=15)
+    bench_rpn("vgg_EF", SHAPE_RPN,
+              "vgg19_EF_anchor_rpn_full_inference_throughput", reps=10)
+    bench_rpn_train(reps=8)
     bench_fcos_rotated(reps=10)
     # serving throughput: 4 scenes per dispatch amortises the latency-bound
     # segments (the reference model also takes a list of scenes)

@@ -26,6 +26,57 @@ PEAK_TFLOPS = 197.0   # v5e bf16
 PEAK_GBPS = 819.0
 
 
+def capture_train(trace_dir: str, batch: int = 2) -> None:
+    """Trace the jitted RPN TRAIN step at the reference train.sh config
+    (swin_s, --rotated_bbox, 160^3, batch 8 / 4 GPUs = 2 per chip)."""
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_bench_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1)
+
+    from bench import random_state
+    from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
+    from nerf_rpn_tpu.models.rpn import RPNConfig
+    from nerf_rpn_tpu.train.steps import make_rpn_train_step
+
+    shape = (160, 160, 160)
+    model = NeRFRPN(backbone_type="swin_s", resolution=max(shape),
+                    rotated=True, conv_depth=4, dtype=jnp.bfloat16)
+    cfg = RPNConfig(rotated=True)
+    rng = np.random.default_rng(0)
+    n_gt = 16
+    ctr = rng.uniform(20, 140, (batch, n_gt, 3))
+    size = rng.uniform(8, 40, (batch, n_gt, 3))
+    theta = rng.uniform(-np.pi / 2, np.pi / 2, (batch, n_gt, 1))
+    batch_d = {
+        "grids": jnp.asarray(
+            rng.uniform(0, 1, (batch, *shape, 4)).astype(np.float32)),
+        "ori_sizes": jnp.full((batch, 3), 160, jnp.int32),
+        "gt_boxes": jnp.asarray(
+            np.concatenate([ctr, size, theta], -1).astype(np.float32)),
+        "gt_mask": jnp.ones((batch, n_gt), bool),
+    }
+    state = random_state(model, batch_d["grids"][:1, :32, :32, :32],
+                         with_opt=True)
+    train_step, _ = make_rpn_train_step(model, cfg, shape)
+    key = jax.random.PRNGKey(0)
+
+    def run(state, reps):
+        loss = None
+        for i in range(reps):
+            state, metrics = train_step(state, batch_d,
+                                        jax.random.fold_in(key, i))
+            loss = metrics["loss"]
+        float(loss)
+        return state
+
+    state = run(state, 3)
+    state = run(state, 3)
+    with jax.profiler.trace(trace_dir):
+        state = run(state, 10)
+
+
 def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False,
             backbone: str = "swin_s") -> None:
     import jax
@@ -144,16 +195,23 @@ if __name__ == "__main__":
                     help="force the XLA attention path (no Pallas kernel)")
     ap.add_argument("--fcos", action="store_true",
                     help="trace the rotated-FCOS bench workload instead")
+    ap.add_argument("--train", action="store_true",
+                    help="trace the RPN train step (train.sh config: swin_s "
+                         "OBB 160^3 batch 2) instead of the eval forward")
     ap.add_argument("--backbone", default="swin_s",
                     help="anchor-RPN backbone to trace (e.g. resnet)")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--dir", default=None)
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
-    d = args.dir or ("/tmp/trace_fcos" if args.fcos else
+    d = args.dir or ("/tmp/trace_train" if args.train else
+                     "/tmp/trace_fcos" if args.fcos else
                      "/tmp/trace_fwd_jnp" if args.jnp_attn else
                      f"/tmp/trace_fwd_{args.backbone}" if
                      args.backbone != "swin_s" else "/tmp/trace_fwd")
     if not args.report_only:
-        capture(d, args.jnp_attn, fcos=args.fcos, backbone=args.backbone)
+        if args.train:
+            capture_train(d)
+        else:
+            capture(d, args.jnp_attn, fcos=args.fcos, backbone=args.backbone)
     report(d, args.top)

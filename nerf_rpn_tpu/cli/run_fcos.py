@@ -45,8 +45,8 @@ def parse_args(argv=None):
     p.add_argument("--val_csv", default="")
     p.add_argument("--test_csv", default="")
     p.add_argument("--backbone_type", default="swin_s",
-                   choices=["resnet", "vgg_AF", "vgg_EF", "swin_t", "swin_s",
-                            "swin_b", "swin_l"])
+                   choices=["resnet", "resnet_tiny", "vgg_AF", "vgg_EF",
+                            "swin_t", "swin_s", "swin_b", "swin_l"])
     p.add_argument("--input_dim", type=int, default=4)
     p.add_argument("--rotated_bbox", action="store_true")
     p.add_argument("--resolution", type=int, default=160)

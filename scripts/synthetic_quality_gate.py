@@ -1,0 +1,199 @@
+"""Train-to-quality gate on synthetic scenes, via the REAL drivers.
+
+For each (head x box-type) combo this script generates a synthetic dataset
+(``nerf_rpn_tpu.data.synthetic``), trains the tiny config from scratch with
+the real CLI driver (``run_rpn`` / ``run_fcos``), runs the real eval
+protocol on the held-out test split, and asserts AP@0.25 from ``eval.json``
+clears the gate: >= 0.9 for AABB, >= 0.8 for OBB.
+
+This is the stand-in for the reference's real-data acceptance run (reference
+``run_rpn.py:533-583`` + the paper tables): the one class of bug the
+unit/parity suite cannot catch is "loss decreases but the detector never
+localizes", and this catches it.
+
+Usage (CPU-forced by default so it can run beside a TPU job):
+
+    python scripts/synthetic_quality_gate.py            # all four combos
+    python scripts/synthetic_quality_gate.py --combos rpn_aabb fcos_obb
+
+The pytest wrappers in ``tests/test_synthetic_quality.py`` run the same
+helpers (gated behind NERF_RPN_QUALITY_GATE=1 — minutes per combo on CPU).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+GATES = {
+    "rpn_aabb": 0.9,
+    "rpn_obb": 0.8,
+    "fcos_aabb": 0.9,
+    "fcos_obb": 0.8,
+}
+
+
+def _common_data_args(data_dir):
+    return [
+        "--features_path", data_dir,
+        "--boxes_path", data_dir,
+        "--dataset_split", os.path.join(data_dir, "split.npz"),
+        "--resolution", "32",
+        "--pad_multiple", "32",
+        "--max_gt", "8",
+    ]
+
+
+def run_rpn_gate(data_dir, save_path, rotated, num_epochs=60, seed=0):
+    """Train + eval the anchor RPN via the real driver; returns eval.json."""
+    from nerf_rpn_tpu.cli import run_rpn
+
+    common = _common_data_args(data_dir) + [
+        "--save_path", save_path,
+        "--backbone_type", "resnet_tiny",
+        "--rpn_head_conv_depth", "2",
+        "--rpn_pre_nms_top_n_train", "512",
+        "--rpn_post_nms_top_n_train", "256",
+        "--rpn_pre_nms_top_n_test", "512",
+        "--rpn_post_nms_top_n_test", "256",
+    ] + (["--rotated_bbox"] if rotated else [])
+    run_rpn.main(common + [
+        "--mode", "train",
+        "--num_epochs", str(num_epochs),
+        "--batch_size", "4",
+        "--lr", "3e-3",
+        "--flip_prob", "0.5", "--rotate_prob", "0.5",
+        "--rot_scale_prob", "0.0",
+        "--eval_interval", "5",
+        "--log_to_file",
+        "--seed", str(seed),
+    ])
+    run_rpn.main(common + [
+        "--mode", "eval",
+        "--checkpoint", os.path.join(save_path, "model_best"),
+    ])
+    with open(os.path.join(save_path, "eval.json")) as f:
+        return json.load(f)
+
+
+def run_fcos_gate(data_dir, save_path, rotated, num_epochs=60, seed=0):
+    """Train + eval FCOS via the real driver; returns eval.json."""
+    from nerf_rpn_tpu.cli import run_fcos
+
+    common = _common_data_args(data_dir) + [
+        "--save_path", save_path,
+        "--backbone_type", "resnet_tiny",
+        "--num_convs", "2",
+        "--norm_reg_targets", "--centerness_on_reg",
+        "--pre_nms_top_n", "512",
+        "--fpn_post_nms_top_n", "256",
+    ] + (["--rotated_bbox"] if rotated else [])
+    run_fcos.main(common + [
+        "--mode", "train",
+        "--num_epochs", str(num_epochs),
+        "--batch_size", "4",
+        "--lr", "3e-3",
+        "--flip_prob", "0.5", "--rotate_prob", "0.5",
+        "--rot_scale_prob", "0.0",
+        "--eval_interval", "5",
+        "--log_to_file",
+        "--seed", str(seed),
+    ])
+    run_fcos.main(common + [
+        "--mode", "eval",
+        "--checkpoint", os.path.join(save_path, "model_best"),
+    ])
+    with open(os.path.join(save_path, "eval.json")) as f:
+        return json.load(f)
+
+
+def parse_recall_curve(log_path):
+    """Val Recall@50 per eval from the driver's own log file (one 'Top N:
+    Recall@50 x ...' line per eval_interval epochs)."""
+    import re
+
+    curve = []
+    if not os.path.isfile(log_path):
+        return curve
+    with open(log_path) as f:
+        for line in f:
+            m = re.search(r"Top \d+: Recall@50 ([0-9.]+)", line)
+            if m:
+                curve.append(float(m.group(1)))
+    return curve
+
+
+def run_combo(combo, work_dir, num_epochs=60, seed=0):
+    """Generate data, train, eval; returns (ap25, ap50, recall25, eval.json,
+    val-recall curve)."""
+    from nerf_rpn_tpu.data.synthetic import write_synthetic_dataset
+
+    rotated = combo.endswith("obb")
+    data_dir = os.path.join(work_dir, f"data_{combo}")
+    save_path = os.path.join(work_dir, f"out_{combo}")
+    write_synthetic_dataset(data_dir, rotated=rotated, seed=seed)
+    runner = run_rpn_gate if combo.startswith("rpn") else run_fcos_gate
+    results = runner(data_dir, save_path, rotated,
+                     num_epochs=num_epochs, seed=seed)
+    ap25 = results["ap_25"]["ap"]
+    ap50 = results["ap_50"]["ap"]
+    r25 = next(v["ar"] for k, v in results.items()
+               if k.startswith("recall_25"))
+    log_name = "run_rpn.log" if combo.startswith("rpn") else "run_fcos.log"
+    curve = parse_recall_curve(os.path.join(save_path, log_name))
+    return ap25, ap50, r25, results, curve
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--combos", nargs="+", default=sorted(GATES),
+                   choices=sorted(GATES))
+    p.add_argument("--num_epochs", type=int, default=60)
+    p.add_argument("--work_dir", default=None,
+                   help="Defaults to a fresh temp dir.")
+    p.add_argument("--platform", default="cpu", choices=["cpu", "default"],
+                   help="cpu (default): force the CPU backend so the gate "
+                        "can run beside a TPU job.")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+
+    if args.platform == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    work_dir = args.work_dir or tempfile.mkdtemp(prefix="nerf_rpn_gate_")
+    print(f"work dir: {work_dir}")
+    failures, summary = [], {}
+    for combo in args.combos:
+        t0 = time.time()
+        ap25, ap50, r25, _, curve = run_combo(
+            combo, work_dir, num_epochs=args.num_epochs, seed=args.seed)
+        gate = GATES[combo]
+        ok = ap25 >= gate
+        summary[combo] = {
+            "combo": combo, "ap25": round(ap25, 4), "ap50": round(ap50, 4),
+            "recall25": round(r25, 4), "gate_ap25": gate, "pass": ok,
+            "val_recall50_curve": [round(v, 3) for v in curve],
+            "minutes": round((time.time() - t0) / 60, 1),
+        }
+        print(json.dumps(summary[combo]), flush=True)
+        if not ok:
+            failures.append(combo)
+    with open(os.path.join(work_dir, "gate_results.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    if failures:
+        print(f"FAILED combos: {failures}", file=sys.stderr)
+        return 1
+    print("all gates passed")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
