@@ -51,10 +51,11 @@ PEAK_FLOPS = {
 }
 
 
-def random_state(model, sample, seed=0, with_opt=False):
+def random_state(model, sample, seed=0, with_opt=False, total_steps=1000):
     """TrainState with host-generated random params (no device-side init
     compile; batch_stats left at ones — benchmarks don't need real stats).
-    ``with_opt``: also init the optimizer state (train-step benches)."""
+    ``with_opt``: also init the optimizer state (train-step benches);
+    ``total_steps`` keeps the onecycle schedule in-range over the bench."""
     from flax.core import FrozenDict
 
     from nerf_rpn_tpu.train.state import TrainState, make_optimizer
@@ -66,7 +67,7 @@ def random_state(model, sample, seed=0, with_opt=False):
         shapes["params"])
     bs = shapes.get("batch_stats", FrozenDict())
     bs = jax.tree.map(lambda s: jnp.ones(s.shape, s.dtype), bs)
-    tx, _ = make_optimizer(1e-3, 10)
+    tx, _ = make_optimizer(1e-3, total_steps)
     opt_state = jax.jit(tx.init)(params) if with_opt else None
     return TrainState(step=jnp.zeros((), jnp.int32), params=params,
                       batch_stats=bs, opt_state=opt_state, tx=tx)

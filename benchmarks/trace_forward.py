@@ -147,7 +147,11 @@ def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False,
         float(carry)
 
 
-def report(trace_dir: str, top: int, iters: int = 10) -> None:
+def report(trace_dir: str, top: int, iters: int = 10, unit: str = "") -> None:
+    """Per-fusion roofline table.  ``unit``: restrict to children whose
+    timeline span falls inside that jit parent (e.g. 'jit_fwd_stages') —
+    fusion numbers repeat across compile units, so attribution uses the
+    (pid, tid, timestamp) interval of the enclosing jit_* event."""
     p = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
     with gzip.open(p) as f:
         tr = json.load(f)
@@ -155,6 +159,22 @@ def report(trace_dir: str, top: int, iters: int = 10) -> None:
     pids = {e["pid"]: e["args"]["name"] for e in ev
             if e.get("ph") == "M" and e.get("name") == "process_name"}
     dev = {q for q, n in pids.items() if "TPU" in n}
+    spans = []  # (pid, tid, ts0, ts1, parent_name)
+    for e in ev:
+        if (e.get("ph") == "X" and e["pid"] in dev
+                and e["name"].startswith("jit_")):
+            spans.append((e["pid"], e.get("tid"), e["ts"],
+                          e["ts"] + e.get("dur", 0),
+                          e["name"].split("(")[0]))
+
+    def parent_of(e):
+        # jit_* module spans live on a separate track from the op events:
+        # match on pid + timestamp interval only
+        for pid, tid, t0, t1, name in spans:
+            if e["pid"] == pid and t0 <= e["ts"] < t1:
+                return name
+        return "?"
+
     agg, parents = {}, collections.Counter()
     for e in ev:
         if e.get("ph") != "X" or e["pid"] not in dev:
@@ -162,6 +182,8 @@ def report(trace_dir: str, top: int, iters: int = 10) -> None:
         name = e["name"]
         if name.startswith("jit_"):
             parents[name.split("(")[0]] += e.get("dur", 0) / 1e3
+            continue
+        if unit and parent_of(e) != unit:
             continue
         a = e.get("args", {})
         rec = agg.setdefault(name, dict(
@@ -175,7 +197,8 @@ def report(trace_dir: str, top: int, iters: int = 10) -> None:
     bycat = collections.Counter()
     for r in agg.values():
         bycat[r["cat"]] += r["ms"] / iters
-    print(f"child total: {sum(bycat.values()):.2f} ms/iter")
+    scope = unit or "all units"
+    print(f"child total ({scope}): {sum(bycat.values()):.2f} ms/iter")
     for c, ms in bycat.most_common(12):
         print(f"  {ms:7.2f} ms  {c}")
     print()
@@ -201,6 +224,9 @@ if __name__ == "__main__":
     ap.add_argument("--backbone", default="swin_s",
                     help="anchor-RPN backbone to trace (e.g. resnet)")
     ap.add_argument("--top", type=int, default=30)
+    ap.add_argument("--unit", default="",
+                    help="restrict the table to one compile unit, e.g. "
+                         "jit_fwd_stages")
     ap.add_argument("--dir", default=None)
     ap.add_argument("--report-only", action="store_true")
     args = ap.parse_args()
@@ -214,4 +240,4 @@ if __name__ == "__main__":
             capture_train(d)
         else:
             capture(d, args.jnp_attn, fcos=args.fcos, backbone=args.backbone)
-    report(d, args.top)
+    report(d, args.top, unit=args.unit)

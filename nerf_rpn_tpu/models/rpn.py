@@ -286,7 +286,7 @@ def rpn_losses(
 def generate_proposals_levels(
     cfg: RPNConfig,
     objectness: Sequence[jax.Array],   # per level (B, N_l)
-    pred_deltas: Sequence[jax.Array],  # per level (B, N_l, D)
+    pred_deltas: Sequence[jax.Array],  # per level (B, N_l, D) or (B, V_l, A*D)
     anchors: Sequence[jax.Array],      # per level (N_l, 6)
     mesh_size: Sequence[int],
     padding_masks: Sequence[jax.Array] | None = None,  # per level (B, N_l)
@@ -299,6 +299,15 @@ def generate_proposals_levels(
     (``rpn.py:20-44``) — the bench trace showed ~1.7 ms of pure layout
     copies on that concat; the delta gather below touches only the per-level
     top-k survivors.
+
+    ``pred_deltas`` may be given per level either flat (B, N_l, D) or in
+    the head's NATIVE voxel-major layout (B, V_l, A*D) with V_l = N_l / A
+    voxels and A anchors per location.  The flat form needs a (B, N_l, D)
+    relayout copy upstream (~1 ms at the bench shape: the last axis of the
+    head output splits across the row, trace ``reshape.64``/``copy.153``);
+    the native form is a free reshape, and the anchor-within-voxel select
+    happens here on the k survivors only (row gather + one-hot contraction
+    — no serialized elementwise gather).
 
     Returns dict with boxes (B, K, 6|7), scores (B, K), level_idx (B, K),
     valid (B, K) — K = post_nms_top_n, score-sorted, masked entries at the
@@ -321,7 +330,16 @@ def generate_proposals_levels(
             s = jnp.where(padding_masks[lvl], s, NEG_INF)
         top_s, top_i = safe_top_k(s, k_list[lvl])  # (B, k_l)
         sel_anchors = anc[top_i]                              # (B, k_l, 6)
-        sel_deltas = jnp.take_along_axis(dl, top_i[..., None], axis=1)
+        if dl.shape[-1] == cfg.delta_dim:
+            sel_deltas = jnp.take_along_axis(dl, top_i[..., None], axis=1)
+        else:
+            # native (B, V_l, A*D): flat anchor index i = vox * A + a
+            a_per = dl.shape[-1] // cfg.delta_dim
+            vox, a = top_i // a_per, top_i % a_per
+            rows = jnp.take_along_axis(dl, vox[..., None], axis=1)
+            rows = rows.reshape(b, -1, a_per, cfg.delta_dim)
+            onehot = jax.nn.one_hot(a, a_per, dtype=rows.dtype)
+            sel_deltas = jnp.einsum("bkad,bka->bkd", rows, onehot)
         bx = cfg.decode(sel_deltas, sel_anchors)
         pad = kmax - k_list[lvl]
         if pad:

@@ -217,6 +217,17 @@ class ShiftedWindowAttention3D(nn.Module):
         return y[:, :sx, :sy, :sz]
 
 
+def _mlp_barrier() -> bool:
+    """Experiment knob: NERF_RPN_TPU_MLP_BARRIER=1 splits the MLP
+    megafusion with an optimization_barrier.  Default OFF: measured
+    NEUTRAL at the bench shape (stages 12.594 vs 12.592 ms,
+    benchmarks/microbench_stages_mlp.py) — the 12%-MFU MLP megafusion is
+    bandwidth-bound either way, not a fusion-decision artifact."""
+    import os
+
+    return os.environ.get("NERF_RPN_TPU_MLP_BARRIER", "0") != "0"
+
+
 class SwinBlock(nn.Module):
     dim: int
     num_heads: int
@@ -248,6 +259,12 @@ class SwinBlock(nn.Module):
         h = ln("norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
         h = nn.gelu(h, approximate=False)  # erf form (torch nn.GELU parity)
+        if _mlp_barrier():
+            # keep fc1+gelu OUT of fc2's fusion: XLA otherwise megafuses the
+            # whole MLP (LN apply + both matmuls + residual) into one fusion
+            # that runs at ~12% MFU / 131 GB/s at stage-0 size (bench trace
+            # fusion.315 / convert_reduce_fusion.1, benchmarks/README.md)
+            h = jax.lax.optimization_barrier(h)
         h = nn.Dense(self.dim, dtype=self.dtype, name="mlp_fc2")(h)
         return x + stochastic_depth(h)
 

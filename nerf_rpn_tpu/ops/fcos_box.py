@@ -89,17 +89,25 @@ def decode_fcos_obb(locations: jax.Array, reg: jax.Array, eps: float = 1e-7) -> 
     cy = (y0 + y1) / 2
     cz = (z0 + z1) / 2
 
+    def safe_norm(v):
+        # sqrt has an infinite gradient at exactly 0: degenerate regressions
+        # (negative distances straight out of an untrained head) produce
+        # zero-length v0/v1/mid here, and norm's 0/0 backward would NaN the
+        # whole rotated loss.  The 1e-20 shift is far below f32 resolution
+        # for any non-degenerate box.
+        return jnp.sqrt(jnp.sum(v * v, axis=-1) + 1e-20)
+
     v0 = jnp.stack([vx - cx, y1 - cy], axis=-1)
     v1 = jnp.stack([x1 - cx, vy - cy], axis=-1)
-    d0 = jnp.linalg.norm(v0, axis=-1)
-    d1 = jnp.linalg.norm(v1, axis=-1)
+    d0 = safe_norm(v0)
+    d1 = safe_norm(v1)
     dmax = jnp.maximum(d0, d1)
     v0 = v0 / (d0[..., None] + eps) * dmax[..., None]
     v1 = v1 / (d1[..., None] + eps) * dmax[..., None]
 
-    l = jnp.linalg.norm(v0 - v1, axis=-1)
+    l = safe_norm(v0 - v1)
     mid = (v0 + v1) / 2
-    w = jnp.linalg.norm(mid, axis=-1) * 2
+    w = safe_norm(mid) * 2
     h = z1 - z0
     mid_x = jnp.where((mid[..., 0] == 0) & (mid[..., 1] == 0), eps, mid[..., 0])
     theta = jnp.arctan2(mid[..., 1], mid_x)

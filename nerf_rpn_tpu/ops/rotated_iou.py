@@ -89,8 +89,12 @@ def _segment_intersections(corners1: jax.Array, corners2: jax.Array):
     u_exact = jnp.where(parallel, -1.0, -den_u / safe_num)
     mask = (t_exact > 0.0) & (t_exact < 1.0) & (u_exact > 0.0) & (u_exact < 1.0)
     # Stabilised t for the coordinates themselves (reference adds EPS the
-    # same way: box_intersection_2d.py:49).
-    t = den_t / (num + EPS)
+    # same way: box_intersection_2d.py:49).  t is zeroed where the pair is
+    # masked BEFORE forming coordinates: near-parallel pairs make t huge
+    # (den/(num+EPS) with num ~ -EPS) and inf * 0-mask would be NaN — the
+    # masked entries must be exactly zero in value AND gradient (degenerate
+    # boxes reach this path via the rotated FCOS loss).
+    t = jnp.where(mask, den_t / (num + EPS), 0.0)
     ix = x1 + t * (x2 - x1)
     iy = y1 + t * (y2 - y1)
     inter = jnp.stack([ix, iy], axis=-1) * mask[..., None]
@@ -102,6 +106,11 @@ def _corners_in_box(corners: jax.Array, box_corners: jax.Array) -> jax.Array:
     given by ``box_corners`` (..., 4, 2).  Relative-tolerance projection test
     (stable when the boxes coincide), same conditions as the reference
     (``box_intersection_2d.py:54-94``)."""
+    # a boolean containment decision is not differentiable: detach the
+    # inputs so a zero-area box (norm 0 -> 0/0) cannot leak NaN into the
+    # BACKWARD pass (forward NaN compares correctly yield "not contained")
+    corners = jax.lax.stop_gradient(corners)
+    box_corners = jax.lax.stop_gradient(box_corners)
     a = box_corners[..., 0:1, :]
     b = box_corners[..., 1:2, :]
     d = box_corners[..., 3:4, :]
@@ -171,7 +180,11 @@ def _masked_polygon_area(vertices: jax.Array, mask: jax.Array) -> jax.Array:
     denom = jnp.maximum(num_valid, 1).astype(vertices.dtype)
     mean = jnp.sum(vertices * maskf[..., None], axis=-2) / denom[..., None]
     centered = vertices - mean[..., None, :]
-    ang = jnp.arctan2(centered[..., 1], centered[..., 0])
+    # the angle is only a SORT KEY (a discrete ordering decision): detach it
+    # so arctan2's undefined gradient at (0, 0) — hit by every zeroed
+    # invalid vertex when no vertices are valid — cannot NaN the backward
+    ang = jnp.arctan2(*jax.lax.stop_gradient((centered[..., 1],
+                                              centered[..., 0])))
     k_count = ang.shape[-1]
     # unique keys: index epsilon breaks ties (coincident vertices carry the
     # same payload, so their relative order is irrelevant)
@@ -275,7 +288,9 @@ def _enclosing_pca(corners1: jax.Array, corners2: jax.Array):
     a = cov[..., 0, 0].astype(jnp.float64)
     cc = cov[..., 0, 1].astype(jnp.float64)
     b = cov[..., 1, 1].astype(jnp.float64)
-    delta = jnp.sqrt(a * a + 4 * cc * cc - 2 * a * b + b * b)
+    # radicand = (a-b)^2 + 4cc^2 >= 0; the 1e-30 keeps sqrt's gradient
+    # finite at the isotropic-covariance point (degenerate inputs)
+    delta = jnp.sqrt(a * a + 4 * cc * cc - 2 * a * b + b * b + 1e-30)
     safe_c = jnp.where(cc == 0, EPS, cc)
     v1 = jnp.stack([(a - b - delta) / (2 * safe_c), jnp.ones_like(a)], axis=-1)
     v2 = jnp.stack([(a - b + delta) / (2 * safe_c), jnp.ones_like(a)], axis=-1)

@@ -155,7 +155,11 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
 
     def _flatten(feats, logits, deltas, b):
         obj_l = [l.reshape(b, -1) for l in logits[: len(shapes)]]
-        dl_l = [d.reshape(b, -1, cfg.delta_dim) for d in deltas[: len(shapes)]]
+        # deltas stay in the head's native voxel-major layout (B, V, A*D):
+        # flattening to (B, N, D) splits the minor axis and costs ~1 ms of
+        # relayout copies at the bench shape (trace reshape.64/copy.153);
+        # generate_proposals_levels selects the anchor on survivors only
+        dl_l = [d.reshape(b, -1, d.shape[-1]) for d in deltas[: len(shapes)]]
         vox = rpn_lib.voxel_objectness_scores(logits[: len(shapes)])
         return feats[: len(shapes)], obj_l, dl_l, vox
 

@@ -197,3 +197,34 @@ def test_jit_compiles():
     f = jax.jit(iou_rotated_3d)
     b = jnp.asarray([0, 0, 0, 2, 2, 2, 0.3], jnp.float32)
     np.testing.assert_allclose(float(f(b, b)), 1.0, atol=1e-5)
+
+
+def test_degenerate_box_gradients_finite():
+    """Gradients through the rotated-IoU family must stay finite for
+    DEGENERATE boxes (zero/negative extents) — an untrained FCOS head emits
+    negative distance regressions, and a NaN here poisons every parameter on
+    the first optimizer step (caught by the synthetic fcos_obb quality gate:
+    loss finite, grad_norm NaN at step 0)."""
+    import numpy as np
+
+    from nerf_rpn_tpu.ops.fcos_box import decode_fcos_obb
+    from nerf_rpn_tpu.ops.rotated_iou import (
+        diou_rotated_3d,
+        giou_rotated_3d,
+        iou_rotated_3d,
+    )
+
+    rng = np.random.default_rng(0)
+    regs = jnp.asarray(rng.normal(0, 2, (256, 8)).astype(np.float32))
+    tgts = jnp.asarray(np.abs(rng.normal(2, 1, (256, 8))).astype(np.float32))
+    dummy = jnp.zeros((256, 3))
+    tgt_boxes = decode_fcos_obb(dummy, tgts)
+    for fn in (lambda p: jnp.sum(iou_rotated_3d(p, tgt_boxes)),
+               lambda p: jnp.sum(giou_rotated_3d(p, tgt_boxes)[0]),
+               lambda p: jnp.sum(diou_rotated_3d(p, tgt_boxes)[0])):
+        def loss(r):
+            return fn(decode_fcos_obb(dummy, r))
+
+        v, g = jax.value_and_grad(loss)(regs)
+        assert bool(jnp.isfinite(v)), "loss value not finite"
+        assert bool(jnp.isfinite(g).all()), "gradient not finite"
