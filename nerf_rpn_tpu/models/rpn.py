@@ -45,7 +45,10 @@ from nerf_rpn_tpu.ops.rotated_iou import (
 )
 from nerf_rpn_tpu.utils.losses import bce_with_logits, smooth_l1
 from nerf_rpn_tpu.utils.projection import project_points
-from nerf_rpn_tpu.utils.target_assign import match_anchors, sample_balanced
+from nerf_rpn_tpu.utils.target_assign import (
+    match_anchors,
+    sample_balanced_batch,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -221,18 +224,21 @@ def rpn_losses(
         )
         if pad is not None:
             matches = jnp.where(pad, matches, -2)  # padded anchors -> ignore
-        matched_gt = gt[jnp.clip(matches, 0)]
+        # one-hot contraction, not gt[clip(matches, 0)]: a per-anchor row
+        # gather serializes on TPU (~8.5 ms at 2 x 950k anchors, train-step
+        # trace fusion.24); the (N, G) @ (G, 7) matmul is exact (rows are
+        # 1.0 * value) and fully vectorized
+        onehot = jax.nn.one_hot(jnp.clip(matches, 0), gt.shape[0],
+                                dtype=gt.dtype)
+        matched_gt = onehot @ gt
         return matches, matched_gt
 
     pads = padding_mask if padding_mask is not None else jnp.ones((b, n), bool)
     matches, matched_gt = jax.vmap(assign_one)(gt_boxes, gt_mask, pads)
 
-    keys = jax.random.split(key, b)
-    pos_mask, neg_mask = jax.vmap(
-        lambda k, m: sample_balanced(
-            k, m, cfg.batch_size_per_mesh, cfg.positive_fraction
-        )
-    )(keys, matches)
+    pos_mask, neg_mask = sample_balanced_batch(
+        key, matches, cfg.batch_size_per_mesh, cfg.positive_fraction
+    )
 
     sampled = pos_mask | neg_mask
     num_sampled = jnp.maximum(jnp.sum(sampled), 1.0)

@@ -101,3 +101,44 @@ def sample_balanced(
         return mask & (rank < budget)
 
     return pick(kp, is_pos, num_pos), pick(kn, is_neg, num_neg)
+
+
+def sample_balanced_batch(
+    key: jax.Array,
+    matches: jax.Array,
+    batch_size: int,
+    positive_fraction: float,
+):
+    """Batched :func:`sample_balanced`: (B, N) matches -> (B, N) bool masks.
+
+    Same selection semantics (budget lowest random priorities among the
+    eligible, ties to the lowest index — the stable-argsort order), but via
+    the exact radix top-k instead of a double argsort: at the train.sh
+    config the argsort pair cost ~48 ms/step (4 full sorts over 2 x 950k
+    anchors, 25% of the whole train step — r3 train-step trace); the
+    radix select + a 256-element scatter is ~1 ms.
+    """
+    from nerf_rpn_tpu.ops.topk import safe_top_k
+
+    b, n = matches.shape
+    is_pos = matches >= 0
+    is_neg = matches == BELOW_LOW_THRESHOLD
+    num_pos = jnp.minimum(jnp.sum(is_pos, -1),
+                          int(batch_size * positive_fraction))
+    num_neg = jnp.minimum(jnp.sum(is_neg, -1), batch_size - num_pos)
+    kp, kn = jax.random.split(key)
+    k_sel = min(batch_size, n)
+
+    def pick(k, mask, budget):
+        r = jax.random.uniform(k, mask.shape)
+        # finite sentinel (uniforms are < 1): radix select on -prio keeps
+        # lax.top_k's lowest-index tie order = the stable-argsort order
+        prio = jnp.where(mask, r, 2.0)
+        _, idx = safe_top_k(-prio, k_sel)                       # (B, K)
+        take = jnp.arange(k_sel)[None, :] < budget[:, None]     # (B, K)
+        sel = jax.vmap(
+            lambda i, t: jnp.zeros((n,), bool).at[i].set(t)
+        )(idx, take)
+        return mask & sel
+
+    return pick(kp, is_pos, num_pos), pick(kn, is_neg, num_neg)

@@ -251,8 +251,12 @@ def test_swin_eval_step_split_units_match_model(rng):
         ref_logits[:4], ref_deltas[:4], cfg.delta_dim)
     np.testing.assert_allclose(
         np.asarray(jnp.concatenate(obj_l, 1)), np.asarray(ref_obj), **tol)
+    # deltas cross the boundary in the head's native (B, V, A*D) layout
+    # (voxel-major, anchor-then-coord minor) — flatten for comparison
+    dl_flat = jnp.concatenate(
+        [d.reshape(d.shape[0], -1, cfg.delta_dim) for d in dl_l], 1)
     np.testing.assert_allclose(
-        np.asarray(jnp.concatenate(dl_l, 1)), np.asarray(ref_dl), **tol)
+        np.asarray(dl_flat), np.asarray(ref_dl), **tol)
 
 
 def test_swin_train_step_stochastic_depth_rng(rng):

@@ -265,3 +265,31 @@ def test_suppression_graph_kernel_vmap(rng):
         lambda x: suppression_graph(x, 0.25, row_tile=128, interpret=True)
     )(jb)
     np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
+def test_sampler_batched_matches_semantics():
+    """sample_balanced_batch (radix-select path, the train-step hot fix of
+    r3: the double-argsort pair cost ~48 ms/step) must deliver the same
+    contract as the per-scene sampler: exact budgets, eligibility, and
+    disjoint masks — for abundant and scarce positives."""
+    from nerf_rpn_tpu.utils.target_assign import sample_balanced_batch
+
+    rng = np.random.default_rng(3)
+    matches = jnp.asarray(
+        rng.choice([-2, -1, 0, 3], (4, 9000), p=[0.1, 0.7, 0.1, 0.1]))
+    pos, neg = sample_balanced_batch(jax.random.PRNGKey(5), matches, 256, 0.5)
+    m = np.asarray(matches)
+    for b in range(4):
+        p, ng = np.asarray(pos[b]), np.asarray(neg[b])
+        assert p.sum() == min((m[b] >= 0).sum(), 128)
+        assert ng.sum() == min((m[b] == -1).sum(), 256 - p.sum())
+        assert np.all(m[b][p] >= 0) and np.all(m[b][ng] == -1)
+        assert not np.any(p & ng)
+
+    # scarce positives: bg tops the budget up to 256
+    scarce = jnp.asarray(np.where(rng.random((2, 6000)) < 0.0008, 1, -1))
+    p2, n2 = sample_balanced_batch(jax.random.PRNGKey(6), scarce, 256, 0.5)
+    for b in range(2):
+        n_pos = int(np.asarray(scarce[b] >= 0).sum())
+        assert int(p2[b].sum()) == min(n_pos, 128)
+        assert int(p2[b].sum()) + int(n2[b].sum()) == 256
