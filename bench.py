@@ -103,12 +103,14 @@ def bench_rpn(backbone, shape, metric, reps, mfu=False, batch=1,
     model = NeRFRPN(backbone_type=backbone, resolution=max(shape),
                     rotated=False, conv_depth=4, dtype=jnp.bfloat16)
     cfg = RPNConfig(rotated=False)
+    # grids arrive in the model dtype — drivers cast in the host collate
+    # (identical values to casting at the first conv; half the bytes)
     grids = jnp.asarray(np.random.default_rng(0).uniform(
-        0, 1, (batch, *shape, 4)).astype(np.float32))
+        0, 1, (batch, *shape, 4)).astype(np.float32)).astype(jnp.bfloat16)
     state = random_state(model, grids[:1, :32, :32, :32])
     eval_step = make_rpn_eval_step(model, cfg, shape)
 
-    perturb = jax.jit(lambda g, c: g + c * 1e-20)
+    perturb = jax.jit(lambda g, c: g + (c * 1e-20).astype(g.dtype))
     summarize = jax.jit(
         lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9)
     ori = jnp.tile(jnp.asarray(
@@ -176,7 +178,8 @@ def bench_rpn_train(reps=10, batch=2):
     theta = rng.uniform(-np.pi / 2, np.pi / 2, (batch, n_gt, 1))
     batch_d = {
         "grids": jnp.asarray(
-            rng.uniform(0, 1, (batch, *shape, 4)).astype(np.float32)),
+            rng.uniform(0, 1, (batch, *shape, 4)).astype(np.float32)
+        ).astype(jnp.bfloat16),
         "ori_sizes": jnp.full((batch, 3), 160, jnp.int32),
         "gt_boxes": jnp.asarray(
             np.concatenate([ctr, size, theta], -1).astype(np.float32)),
@@ -227,10 +230,10 @@ def bench_fcos_rotated(reps):
                          rotated=True, dtype=jnp.bfloat16)
     cfg = FCOSConfig(rotated=True)
     grids = jnp.asarray(np.random.default_rng(0).uniform(
-        0, 1, (1, *SHAPE_FCOS, 4)).astype(np.float32))
+        0, 1, (1, *SHAPE_FCOS, 4)).astype(np.float32)).astype(jnp.bfloat16)
     state = random_state(model, grids[:, :32, :32, :32])
     eval_step = make_fcos_eval_step(model, cfg, SHAPE_FCOS)
-    perturb = jax.jit(lambda g, c: g + c * 1e-20)
+    perturb = jax.jit(lambda g, c: g + (c * 1e-20).astype(g.dtype))
     summarize = jax.jit(
         lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9)
     ori = jnp.asarray([list(SHAPE_FCOS)], jnp.int32)

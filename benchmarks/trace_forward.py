@@ -51,7 +51,8 @@ def capture_train(trace_dir: str, batch: int = 2) -> None:
     theta = rng.uniform(-np.pi / 2, np.pi / 2, (batch, n_gt, 1))
     batch_d = {
         "grids": jnp.asarray(
-            rng.uniform(0, 1, (batch, *shape, 4)).astype(np.float32)),
+            rng.uniform(0, 1, (batch, *shape, 4)).astype(np.float32)
+        ).astype(jnp.bfloat16),
         "ori_sizes": jnp.full((batch, 3), 160, jnp.int32),
         "gt_boxes": jnp.asarray(
             np.concatenate([ctr, size, theta], -1).astype(np.float32)),
@@ -115,7 +116,9 @@ def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False,
         cfg = RPNConfig(rotated=False)
         make_step = lambda: make_rpn_eval_step(model, cfg, shape)
         ori = jnp.asarray([[200, 200, 130]], jnp.int32)
-    grids = jnp.asarray(rng.uniform(0, 1, (1, *shape, 4)).astype(np.float32))
+    # grids arrive in the model dtype (drivers cast in the host collate)
+    grids = jnp.asarray(rng.uniform(0, 1, (1, *shape, 4)).astype(
+        np.float32)).astype(jnp.bfloat16)
     shapes_v = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), grids[:, :32, :32, :32]))
     variables = jax.tree.map(
@@ -126,7 +129,7 @@ def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False,
                        batch_stats=variables.get("batch_stats", FrozenDict()),
                        opt_state=None, tx=tx)
     eval_step = make_step()
-    perturb = jax.jit(lambda g, c: g + c * 1e-20)
+    perturb = jax.jit(lambda g, c: g + (c * 1e-20).astype(g.dtype))
     summarize = jax.jit(
         lambda out: jnp.sum(out["scores"]) + jnp.sum(out["boxes"]) * 1e-9)
 

@@ -153,7 +153,10 @@ class Trainer:
             # drop ragged trailing train batches: a different batch dim
             # would force a fresh (minutes-long) compile
             drop_last=shuffle,
-            process_index=jax.process_index(), process_count=jax.process_count())
+            process_index=jax.process_index(), process_count=jax.process_count(),
+            # host-side cast to the model dtype (identical values, half the
+            # transfer; see run_rpn.py._batches)
+            grid_dtype=self.model.dtype)
 
     def train_loop(self):
         args = self.args
@@ -243,7 +246,7 @@ class Trainer:
         ori = jnp.asarray([[160, 160, 160]], jnp.int32)
 
         # eval_step is two compile units; don't re-wrap it in an outer jit
-        perturb = jax.jit(lambda g, c: g + c * 1e-20)
+        perturb = jax.jit(lambda g, c: g + (c * 1e-20).astype(g.dtype))
         summarize = jax.jit(lambda out: jnp.sum(out["scores"]))
 
         def step(state, grids, ori, carry):

@@ -385,6 +385,7 @@ def collate_batch(
     max_gt: int = 64,
     box_dim: int = 6,
     fixed_shape: Sequence[int] | None = None,
+    grid_dtype=np.float32,
 ):
     """Pad a list of (rgbsigma, boxes, name) to one static-shape batch.
 
@@ -394,6 +395,12 @@ def collate_batch(
 
     Bucketing to ``pad_multiple`` keeps the number of distinct compiled
     shapes small (SURVEY 5.7: pad grids to a small set of bucketed shapes).
+
+    ``grid_dtype``: bf16 models cast grids at their first conv anyway, so
+    drivers pass ``ml_dtypes.bfloat16`` to do that cast HERE (same
+    round-to-nearest-even values) — halving host->device transfer and the
+    device-side read (embed unit ~0.45 ms/scene at the bench shape,
+    benchmarks/microbench_embed_layout.py).
     """
     shapes = np.array([s[0].shape[:3] for s in samples])
     if fixed_shape is not None:
@@ -402,7 +409,7 @@ def collate_batch(
         target = np.array([round_up(int(m), pad_multiple) for m in shapes.max(0)])
     b = len(samples)
     c = samples[0][0].shape[-1]
-    grids = np.zeros((b, *target, c), np.float32)
+    grids = np.zeros((b, *target, c), grid_dtype)
     gt = np.zeros((b, max_gt, box_dim), np.float32)
     gt_mask = np.zeros((b, max_gt), bool)
     names = []

@@ -263,3 +263,19 @@ def test_classification_metrics():
         [np.array([0.9, 0.2], np.float32)], [np.array([1, 0], np.int32)], 0.5
     )
     assert res["precision"] == 1.0 and res["accuracy"] == 1.0
+
+
+def test_collate_grid_dtype_bf16(tmp_path):
+    """bf16 models cast grids at their first conv; the host collate doing
+    that cast instead (``grid_dtype``) must produce identical values
+    (round-to-nearest-even either way) at half the bytes."""
+    import jax.numpy as jnp
+
+    make_scene_files(tmp_path, "s0", shape=(10, 8, 6))
+    ds = HypersimRPNDataset(str(tmp_path), str(tmp_path), preload=True)
+    b16 = next(iter(batch_iterator(ds, 1, pad_multiple=8,
+                                   grid_dtype=jnp.bfloat16)))
+    b32 = next(iter(batch_iterator(ds, 1, pad_multiple=8)))
+    assert b16["grids"].dtype == jnp.bfloat16
+    assert b32["grids"].dtype == np.float32
+    assert np.array_equal(b32["grids"].astype(jnp.bfloat16), b16["grids"])
