@@ -18,6 +18,7 @@ import jax.numpy as jnp
 
 from nerf_rpn_tpu.cli import common
 from nerf_rpn_tpu.data.datasets import batch_iterator, round_up
+from nerf_rpn_tpu.data.loader import prefetch_iterator
 from nerf_rpn_tpu.models.nerf_rpn import FCOSOverNeRF
 from nerf_rpn_tpu.models.fcos import FCOSConfig
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
@@ -90,6 +91,12 @@ def parse_args(argv=None):
     # TPU extras
     p.add_argument("--pad_multiple", type=int, default=32)
     p.add_argument("--max_gt", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="Sample-loading threads (reference DataLoader "
+                        "num_workers); 0 = load in-line.")
+    p.add_argument("--prefetch_batches", type=int, default=2,
+                   help="Batches assembled + device-transferred ahead of "
+                        "the step; 0 disables background prefetch.")
     p.add_argument("--bf16", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
@@ -146,7 +153,9 @@ class Trainer:
             self.logger.info(f"Loaded checkpoint {self.args.checkpoint}")
 
     def _batches(self, dataset, shuffle, seed=0):
-        return batch_iterator(
+        """(host_batch, device_batch) pairs, prefetched ahead of the step
+        (see run_rpn.py._batches)."""
+        it = batch_iterator(
             dataset, self.args.batch_size, shuffle=shuffle, seed=seed,
             pad_multiple=self.args.pad_multiple, max_gt=self.args.max_gt,
             box_dim=self.box_dim, fixed_shape=self.mesh_shape,
@@ -154,9 +163,13 @@ class Trainer:
             # would force a fresh (minutes-long) compile
             drop_last=shuffle,
             process_index=jax.process_index(), process_count=jax.process_count(),
+            num_workers=self.args.num_workers,
             # host-side cast to the model dtype (identical values, half the
             # transfer; see run_rpn.py._batches)
             grid_dtype=self.model.dtype)
+        return prefetch_iterator(
+            it, depth=self.args.prefetch_batches,
+            transform=lambda b: (b, shard_batch(self.mesh, b)))
 
     def train_loop(self):
         args = self.args
@@ -170,9 +183,9 @@ class Trainer:
         key = jax.random.PRNGKey(args.seed)
         best_metric = None
         for epoch in range(1, args.num_epochs + 1):
-            for i, batch in enumerate(self._batches(train_set, True, seed=epoch)):
+            for i, (_, batch) in enumerate(
+                    self._batches(train_set, True, seed=epoch)):
                 key, sub = jax.random.split(key)
-                batch = shard_batch(self.mesh, batch)
                 self.state, metrics = train_step(self.state, batch, sub)
                 if i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -202,10 +215,9 @@ class Trainer:
         eval_step = make_fcos_eval_step(self.model, self.cfg, self.mesh_shape)
         proposals_list, scores_list, levels_list = [], [], []
         gt_boxes_list, scenes_list = [], []
-        for batch in self._batches(dataset, False):
+        for batch, sb in self._batches(dataset, False):
             names = batch["names"]
             gt_mask = batch["gt_mask"]
-            sb = shard_batch(self.mesh, batch)
             out = eval_step(self.state, sb)
             props, scs, lvls = common.unmask_proposals(out, self.box_dim)
             proposals_list.extend(props)

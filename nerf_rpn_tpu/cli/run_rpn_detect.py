@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import argparse
 import os
+from concurrent.futures import ThreadPoolExecutor
 
 import numpy as np
 
@@ -30,6 +31,7 @@ from nerf_rpn_tpu.evaluation.metrics import (
 )
 from nerf_rpn_tpu.models.detector import RCNNConfig, RCNNHead
 from nerf_rpn_tpu.models.nerf_rpn import build_backbone
+from nerf_rpn_tpu.data.loader import prefetch_iterator
 from nerf_rpn_tpu.ops.roi_align import map_rois_to_levels_np
 from nerf_rpn_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
@@ -101,6 +103,12 @@ def parse_args(argv=None):
     # TPU extras
     p.add_argument("--max_rois", type=int, default=1024)
     p.add_argument("--max_gt", type=int, default=64)
+    p.add_argument("--num_workers", type=int, default=4,
+                   help="Sample-loading threads (reference DataLoader "
+                        "num_workers); 0 = load in-line.")
+    p.add_argument("--prefetch_batches", type=int, default=2,
+                   help="Batches assembled + device-transferred ahead of "
+                        "the step; 0 disables background prefetch.")
     p.add_argument("--seed", type=int, default=0)
     return p.parse_args(argv)
 
@@ -226,20 +234,40 @@ class Trainer:
         """Process-sharded batches (the reference's ``DistributedSampler``,
         ``run_rpn_detect.py:291-295``).  Train (shuffle) drops the ragged
         trailing batch to keep one compiled batch shape; eval pads it by
-        repeating the last scene and yields the real count."""
+        repeating the last scene.  Yields (host_batch, device_batch, n_real)
+        with loading + transfer prefetched ahead of the step (the reference's
+        DataLoader(num_workers=4, pin_memory=True) analogue)."""
         order = np.arange(len(dataset))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
         order = order[jax.process_index() :: jax.process_count()]
         bs = self.args.batch_size
-        for start in range(0, len(order), bs):
-            idx = order[start : start + bs]
-            n_real = len(idx)
-            if n_real < bs:
-                if shuffle:
-                    break
-                idx = np.concatenate([idx, np.repeat(idx[-1:], bs - n_real)])
-            yield self._collate([dataset[int(i)] for i in idx]), n_real
+        nw = self.args.num_workers
+        pool = ThreadPoolExecutor(nw) if nw > 0 else None
+
+        def gen():
+            try:
+                for start in range(0, len(order), bs):
+                    idx = order[start : start + bs]
+                    n_real = len(idx)
+                    if n_real < bs:
+                        if shuffle:
+                            break
+                        idx = np.concatenate(
+                            [idx, np.repeat(idx[-1:], bs - n_real)])
+                    if pool is not None:
+                        samples = list(
+                            pool.map(dataset.__getitem__, map(int, idx)))
+                    else:
+                        samples = [dataset[int(i)] for i in idx]
+                    yield self._collate(samples), n_real
+            finally:
+                if pool is not None:
+                    pool.shutdown(wait=False, cancel_futures=True)
+
+        return prefetch_iterator(
+            gen(), depth=self.args.prefetch_batches,
+            transform=lambda bn: (bn[0], shard_batch(self.mesh, bn[0]), bn[1]))
 
     def train_loop(self):
         args = self.args
@@ -259,11 +287,10 @@ class Trainer:
         key = jax.random.PRNGKey(args.seed)
         best = None
         for epoch in range(1, args.num_epochs + 1):
-            for i, (batch, _) in enumerate(
+            for i, (_, arrays, _n) in enumerate(
                 self._batches(train_set, True, seed=epoch)
             ):
                 key, sub = jax.random.split(key)
-                arrays = shard_batch(self.mesh, batch)
                 self.state, metrics = train_step(self.state, arrays, sub)
                 if i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -296,8 +323,7 @@ class Trainer:
             int(args.filter_num_threhold))
         scores_list, labels_list = [], []
         refined_list, filt_scores_list, gt_list, names = [], [], [], []
-        for batch, n_real in self._batches(dataset):
-            arrays = shard_batch(self.mesh, batch)
+        for batch, arrays, n_real in self._batches(dataset):
             out = eval_step(self.state, arrays)
             # "mesh size" for clipping: level-0 feature shape x stride-4
             # scale (grid shape x scale in fine-tune, reproducing the

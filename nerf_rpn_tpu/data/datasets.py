@@ -22,6 +22,8 @@ from __future__ import annotations
 import csv
 import dataclasses
 import os
+import threading
+from concurrent.futures import ThreadPoolExecutor
 from typing import Optional, Sequence
 
 import numpy as np
@@ -67,6 +69,29 @@ class SceneRecord:
     boxes_file: str | None
 
 
+class _ItemRNG:
+    """Deterministic per-access augmentation rng streams.
+
+    ``rng(idx)`` returns a fresh ``np.random.Generator`` seeded by
+    ``(seed, idx, k)`` where ``k`` counts accesses of that item.  Unlike one
+    shared Generator, this is safe under threaded sample loading
+    (``batch_iterator(num_workers=...)``) AND the stream each access sees is
+    independent of worker count and thread completion order — the k-th load
+    of scene ``idx`` always augments identically.
+    """
+
+    def __init__(self, seed: int):
+        self.seed = seed
+        self._lock = threading.Lock()
+        self._access: dict[int, int] = {}
+
+    def __call__(self, idx: int) -> np.random.Generator:
+        with self._lock:
+            k = self._access.get(idx, 0)
+            self._access[idx] = k + 1
+        return np.random.default_rng((self.seed, idx, k))
+
+
 class BaseRPNDataset:
     """Indexable scene dataset with optional preload + augmentation."""
 
@@ -88,7 +113,7 @@ class BaseRPNDataset:
         self.flip_prob = flip_prob
         self.rotate_prob = rotate_prob
         self.rot_scale_prob = rot_scale_prob
-        self.rng = np.random.default_rng(seed)
+        self.rng = _ItemRNG(seed)
 
         if scene_list is None:
             scene_list = sorted(
@@ -133,7 +158,7 @@ class BaseRPNDataset:
             rgbsigma, boxes = self._load(self.records[idx])
         if self.flip_prob > 0 or self.rotate_prob > 0 or self.rot_scale_prob > 0:
             rgbsigma, boxes = augment_rpn_inputs(
-                rgbsigma, boxes, self.rng,
+                rgbsigma, boxes, self.rng(idx),
                 self.flip_prob, self.rotate_prob, self.rot_scale_prob,
             )
         return rgbsigma, boxes, self.records[idx].name
@@ -166,7 +191,7 @@ class GeneralRPNDataset(BaseRPNDataset):
         self.flip_prob = kw.get("flip_prob", 0.0)
         self.rotate_prob = kw.get("rotate_prob", 0.0)
         self.rot_scale_prob = kw.get("rot_scale_prob", 0.0)
-        self.rng = np.random.default_rng(kw.get("seed", 0))
+        self.rng = _ItemRNG(kw.get("seed", 0))
         self.records = []
         with open(csv_path, newline="") as f:
             for row in csv.DictReader(f):
@@ -223,7 +248,7 @@ class RPNClassificationDataset:
         self.flip_prob = flip_prob
         self.rotate_prob = rotate_prob
         self.rot_scale_prob = rot_scale_prob
-        self.rng = np.random.default_rng(seed)
+        self.rng = _ItemRNG(seed)
         if scene_names is None:
             scene_names = sorted(
                 f[: -len(".npz")]
@@ -283,7 +308,7 @@ class RPNClassificationDataset:
             n_gt = boxes.shape[0]
             joint = np.concatenate([boxes, proposals], axis=0)
             features, joint = augment_rpn_inputs(
-                features, joint, self.rng,
+                features, joint, self.rng(idx),
                 self.flip_prob, self.rotate_prob, self.rot_scale_prob,
             )
             boxes, proposals = joint[:n_gt], joint[n_gt:]
@@ -439,16 +464,36 @@ def batch_iterator(
     drop_last: bool = False,
     process_index: int = 0,
     process_count: int = 1,
+    num_workers: int = 0,
     **collate_kw,
 ):
-    """Simple host-side batch loader with per-process sharding (the
-    reference's ``DistributedSampler`` equivalent, keyed on process index)."""
+    """Host-side batch loader with per-process sharding (the reference's
+    ``DistributedSampler`` equivalent, keyed on process index).
+
+    ``num_workers > 0`` loads the samples of each batch over a thread pool
+    (the reference's ``DataLoader(num_workers=4)`` analogue — npz
+    decompression and the native resample release the GIL).  Batches and the
+    samples within them keep their order; augmentation streams are
+    per-(item, access) so results are bit-identical to the serial path
+    (``_ItemRNG``).  Wrap the returned generator in
+    ``data.loader.prefetch_iterator`` to additionally overlap whole-batch
+    assembly with consumption.
+    """
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
     order = order[process_index::process_count]
-    for start in range(0, len(order), batch_size):
-        idx = order[start : start + batch_size]
-        if drop_last and len(idx) < batch_size:
-            return
-        yield collate_batch([dataset[int(i)] for i in idx], **collate_kw)
+    pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
+    try:
+        for start in range(0, len(order), batch_size):
+            idx = order[start : start + batch_size]
+            if drop_last and len(idx) < batch_size:
+                return
+            if pool is not None:
+                samples = list(pool.map(dataset.__getitem__, map(int, idx)))
+            else:
+                samples = [dataset[int(i)] for i in idx]
+            yield collate_batch(samples, **collate_kw)
+    finally:
+        if pool is not None:
+            pool.shutdown(wait=False, cancel_futures=True)
