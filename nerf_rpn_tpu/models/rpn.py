@@ -47,7 +47,7 @@ from nerf_rpn_tpu.utils.losses import bce_with_logits, smooth_l1
 from nerf_rpn_tpu.utils.projection import project_points
 from nerf_rpn_tpu.utils.target_assign import (
     match_anchors,
-    sample_balanced_batch,
+    sample_balanced_indices,
 )
 
 
@@ -134,6 +134,43 @@ def flatten_head_outputs(
     return jnp.concatenate(flat_logits, 1), jnp.concatenate(flat_deltas, 1)
 
 
+def gather_delta_rows_levels(
+    deltas: Sequence[jax.Array],   # per level (B, X, Y, Z, A*D) or (B, V_l, A*D)
+    idx: jax.Array,                # (B, K) FLAT anchor indices
+    counts: Sequence[int],
+    anchors_per_loc: int,
+    delta_dim: int,
+) -> jax.Array:
+    """(B, K, D) delta rows at flat anchor indices, gathered from the head's
+    NATIVE per-level layout.
+
+    Flat index order is (level, x, y, z, anchor) — ``grid_anchors`` /
+    ``flatten_head_outputs``.  Each level gathers the K voxel rows
+    (take_along_axis on the (B, V_l, A*D) view — merging only major axes,
+    free) and selects the anchor with a (K, A) one-hot contraction; levels
+    combine with masks.  This avoids materialising the (B, N_total, D)
+    flatten+concat the loss path used to take (~2 ms of relayout copies at
+    the train.sh shape — the delta concat splits the minor axis).
+    """
+    b, k = idx.shape
+    a = anchors_per_loc
+    offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int32)
+    out = None
+    for lvl, d in enumerate(deltas):
+        d = d.reshape(b, -1, a * delta_dim)
+        local = jnp.clip(idx - offsets[lvl], 0, int(counts[lvl]) - 1)
+        vox = local // a
+        anc = local % a
+        row = jnp.take_along_axis(d, vox[..., None], axis=1)   # (B, K, A*D)
+        row = row.reshape(b, k, a, delta_dim)
+        onehot = jax.nn.one_hot(anc, a, dtype=row.dtype)
+        val = jnp.einsum("bka,bkad->bkd", onehot, row)
+        in_level = (idx >= offsets[lvl]) & (idx < offsets[lvl + 1])
+        val = jnp.where(in_level[..., None], val, 0.0)
+        out = val if out is None else out + val
+    return out
+
+
 def dynamic_padding_masks_levels(
     level_shapes: Sequence[Sequence[int]],
     strides: Sequence[Sequence[int]],
@@ -204,14 +241,26 @@ def rpn_losses(
     cfg: RPNConfig,
     key: jax.Array,
     objectness: jax.Array,      # (B, N)
-    pred_deltas: jax.Array,     # (B, N, D)
+    pred_deltas,                # (B, N, D), or per-level native head outputs
     anchors: jax.Array,         # (N, 6)
     gt_boxes: jax.Array,        # (B, G, 6|7), zero-padded
     gt_mask: jax.Array,         # (B, G) bool
     padding_mask: jax.Array | None = None,  # (B, N) bool
     max_mesh_dim: int = 160,
+    level_counts: Sequence[int] | None = None,
+    anchors_per_loc: int | None = None,
 ) -> dict[str, jax.Array]:
-    """Batched RPN training losses (objectness BCE, 3D box reg, 2D proj)."""
+    """Batched RPN training losses (objectness BCE, 3D box reg, 2D proj).
+
+    Only matching and sampling touch the full anchor axis; every loss term
+    is computed on the K = ``cfg.batch_size_per_mesh`` SAMPLED rows gathered
+    from the head outputs.  The reference (and the round-2 version of this
+    function) ran encode/decode/reg over all N ~ 950k anchors and masked —
+    a dozen full-(B, N, D) memory passes (plus two materialised
+    (B, N, 6) anchor broadcasts) to use 256 rows; the gathered form is
+    mathematically identical (masked sums over N = take-masked sums over
+    the gathered K) and the backward is a 256-row scatter per tensor.
+    """
     b, n = objectness.shape
 
     def assign_one(gt, mask, pad):
@@ -224,59 +273,79 @@ def rpn_losses(
         )
         if pad is not None:
             matches = jnp.where(pad, matches, -2)  # padded anchors -> ignore
-        # one-hot contraction, not gt[clip(matches, 0)]: a per-anchor row
-        # gather serializes on TPU (~8.5 ms at 2 x 950k anchors, train-step
-        # trace fusion.24); the (N, G) @ (G, 7) matmul is exact (rows are
-        # 1.0 * value) and fully vectorized
-        onehot = jax.nn.one_hot(jnp.clip(matches, 0), gt.shape[0],
-                                dtype=gt.dtype)
-        matched_gt = onehot @ gt
-        return matches, matched_gt
+        return matches
 
     pads = padding_mask if padding_mask is not None else jnp.ones((b, n), bool)
-    matches, matched_gt = jax.vmap(assign_one)(gt_boxes, gt_mask, pads)
+    matches = jax.vmap(assign_one)(gt_boxes, gt_mask, pads)
 
-    pos_mask, neg_mask = sample_balanced_batch(
+    pos_idx, pos_take, neg_idx, neg_take = sample_balanced_indices(
         key, matches, cfg.batch_size_per_mesh, cfg.positive_fraction
     )
 
-    sampled = pos_mask | neg_mask
-    num_sampled = jnp.maximum(jnp.sum(sampled), 1.0)
-    num_pos = jnp.maximum(jnp.sum(pos_mask), 1.0)
-    labels = (matches >= 0).astype(objectness.dtype)
+    num_sampled = jnp.maximum(jnp.sum(pos_take) + jnp.sum(neg_take), 1.0)
+    num_pos = jnp.maximum(jnp.sum(pos_take), 1.0)
 
-    # objectness BCE, mean over sampled anchors
-    obj_loss = jnp.sum(
-        bce_with_logits(objectness, labels) * sampled
+    def rows(x, idx):
+        """(B, N[, D]) -> (B, K[, D]) rows at idx."""
+        if x.ndim == 2:
+            return jnp.take_along_axis(x, idx, axis=1)
+        return jnp.take_along_axis(x, idx[..., None], axis=1)
+
+    # objectness BCE, mean over sampled anchors (sampled positives have
+    # label 1 by construction, negatives 0)
+    obj_pos = rows(objectness, pos_idx)
+    obj_neg = rows(objectness, neg_idx)
+    obj_loss = (
+        jnp.sum(bce_with_logits(obj_pos, jnp.ones_like(obj_pos)) * pos_take)
+        + jnp.sum(bce_with_logits(obj_neg, jnp.zeros_like(obj_neg)) * neg_take)
     ) / num_sampled
 
-    targets = cfg.encode(matched_gt, anchors[None].repeat(b, 0))
+    # regression terms: gather the K positive rows, then encode/decode on
+    # (B, K, ...) only.  matched gt via a small one-hot contraction (a
+    # per-row gather serializes on TPU; (K, G) @ (G, 7) is exact — rows are
+    # 1.0 * value — and fully vectorized).
+    k_matches = rows(matches, pos_idx)                       # (B, K)
+    onehot = jax.nn.one_hot(jnp.clip(k_matches, 0), gt_boxes.shape[1],
+                            dtype=gt_boxes.dtype)            # (B, K, G)
+    matched_gt = jnp.einsum("bkg,bgd->bkd", onehot, gt_boxes)
+    k_anchors = jnp.take(anchors, pos_idx, axis=0)           # (B, K, 6)
+    if isinstance(pred_deltas, (list, tuple)):
+        # native per-level head outputs: gather the K rows level-wise, no
+        # (B, N, D) flatten+concat ever materialises
+        k_deltas = gather_delta_rows_levels(
+            pred_deltas, pos_idx, level_counts, anchors_per_loc,
+            cfg.delta_dim)
+    else:
+        k_deltas = rows(pred_deltas, pos_idx)                # (B, K, D)
+
+    targets = cfg.encode(matched_gt, k_anchors)
 
     if cfg.reg_loss_type == "smooth_l1":
-        reg = smooth_l1(pred_deltas, targets, beta=1.0 / 9)
-        reg_loss = jnp.sum(reg * pos_mask[..., None]) / num_sampled
+        reg = smooth_l1(k_deltas, targets, beta=1.0 / 9)
+        reg_loss = jnp.sum(reg * pos_take[..., None]) / num_sampled
         proposals = None
     else:
-        proposals = cfg.decode(pred_deltas, anchors[None].repeat(b, 0))
+        proposals = cfg.decode(k_deltas, k_anchors)
         per_box = _rotated_iou_loss(proposals, matched_gt, cfg.reg_loss_type)
-        reg_loss = jnp.sum(per_box * pos_mask) / num_sampled
+        reg_loss = jnp.sum(per_box * pos_take) / num_sampled
 
     losses = {"loss_objectness": obj_loss, "loss_rpn_box_reg": reg_loss}
 
     if cfg.reg_loss_weight_2d > 0:
+        k = pos_idx.shape[1]
         if proposals is None:
-            proposals = cfg.decode(pred_deltas, anchors[None].repeat(b, 0))
+            proposals = cfg.decode(k_deltas, k_anchors)
         if cfg.rotated:
-            pred_pts = obb2points_3d(proposals)       # (B, N, 2, 3)
+            pred_pts = obb2points_3d(proposals)       # (B, K, 2, 3)
             tgt_pts = obb2points_3d(matched_gt)
         else:
-            pred_pts = proposals.reshape(b, n, 2, 3)  # (min corner, max corner)
-            tgt_pts = matched_gt.reshape(b, n, 2, 3)
-        pred_uv = project_points(pred_pts, max_mesh_dim)  # (B, N, 2, 4, 2)
+            pred_pts = proposals.reshape(b, k, 2, 3)  # (min corner, max corner)
+            tgt_pts = matched_gt.reshape(b, k, 2, 3)
+        pred_uv = project_points(pred_pts, max_mesh_dim)  # (B, K, 2, 4, 2)
         tgt_uv = project_points(tgt_pts, max_mesh_dim)
         l2d = smooth_l1(pred_uv, tgt_uv, beta=1.0 / 9)
         losses["loss_rpn_box_reg_2d"] = (
-            jnp.sum(l2d * pos_mask[..., None, None, None]) / num_pos / max_mesh_dim
+            jnp.sum(l2d * pos_take[..., None, None, None]) / num_pos / max_mesh_dim
         )
     else:
         losses["loss_rpn_box_reg_2d"] = jnp.zeros(())

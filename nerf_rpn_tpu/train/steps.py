@@ -99,14 +99,19 @@ def make_rpn_train_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32
                 mutable=["batch_stats"],
                 rngs={"dropout": drop_key},
             )
-            # use only the levels covered by the anchor tables
-            obj, dl = rpn_lib.flatten_head_outputs(
-                logits[: len(shapes)], deltas[: len(shapes)], cfg.delta_dim
-            )
+            # use only the levels covered by the anchor tables; deltas stay
+            # in the head's native (B, X, Y, Z, A*D) layout — the loss
+            # gathers its K sampled rows per level (the (B, N, D)
+            # flatten+concat cost ~2 ms of relayout at the train.sh shape)
+            b = batch["grids"].shape[0]
+            obj = jnp.concatenate(
+                [l.reshape(b, -1) for l in logits[: len(shapes)]], axis=1)
             losses = rpn_lib.rpn_losses(
-                cfg, key, obj, dl, jnp.asarray(anchors_np),
+                cfg, key, obj, list(deltas[: len(shapes)]),
+                jnp.asarray(anchors_np),
                 batch["gt_boxes"], batch["gt_mask"],
                 padding_mask=padding, max_mesh_dim=max_dim,
+                level_counts=counts, anchors_per_loc=anchors_per_loc,
             )
             total = (
                 losses["loss_objectness"]

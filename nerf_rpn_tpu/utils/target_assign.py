@@ -103,20 +103,26 @@ def sample_balanced(
     return pick(kp, is_pos, num_pos), pick(kn, is_neg, num_neg)
 
 
-def sample_balanced_batch(
+def sample_balanced_indices(
     key: jax.Array,
     matches: jax.Array,
     batch_size: int,
     positive_fraction: float,
 ):
-    """Batched :func:`sample_balanced`: (B, N) matches -> (B, N) bool masks.
+    """Batched balanced sampling in INDEX form.
 
-    Same selection semantics (budget lowest random priorities among the
-    eligible, ties to the lowest index — the stable-argsort order), but via
-    the exact radix top-k instead of a double argsort: at the train.sh
-    config the argsort pair cost ~48 ms/step (4 full sorts over 2 x 950k
-    anchors, 25% of the whole train step — r3 train-step trace); the
-    radix select + a 256-element scatter is ~1 ms.
+    Same selection semantics as :func:`sample_balanced` (budget lowest
+    random priorities among the eligible, ties to the lowest index — the
+    stable-argsort order), but via the exact radix top-k instead of a
+    double argsort: at the train.sh config the argsort pair cost ~48
+    ms/step (4 full sorts over 2 x 950k anchors, 25% of the whole train
+    step — r3 train-step trace); the radix select is ~1 ms.
+
+    Returns ``(pos_idx, pos_take, neg_idx, neg_take)``, each (B, K) with
+    K = min(batch_size, N): anchor indices plus validity masks (an index
+    counts only where ``take`` is True; untaken slots point at arbitrary
+    anchors).  The loss path gathers head outputs at these K rows instead
+    of running encode/decode/reg over all N anchors.
     """
     from nerf_rpn_tpu.ops.topk import safe_top_k
 
@@ -136,9 +142,31 @@ def sample_balanced_batch(
         prio = jnp.where(mask, r, 2.0)
         _, idx = safe_top_k(-prio, k_sel)                       # (B, K)
         take = jnp.arange(k_sel)[None, :] < budget[:, None]     # (B, K)
-        sel = jax.vmap(
+        # beyond-available slots hold sentinel rows — AND with eligibility
+        take = take & jnp.take_along_axis(mask, idx, axis=1)
+        return idx, take
+
+    pos_idx, pos_take = pick(kp, is_pos, num_pos)
+    neg_idx, neg_take = pick(kn, is_neg, num_neg)
+    return pos_idx, pos_take, neg_idx, neg_take
+
+
+def sample_balanced_batch(
+    key: jax.Array,
+    matches: jax.Array,
+    batch_size: int,
+    positive_fraction: float,
+):
+    """Batched :func:`sample_balanced`: (B, N) matches -> (B, N) bool masks
+    (mask form of :func:`sample_balanced_indices` — one 256-element scatter
+    per class)."""
+    n = matches.shape[1]
+    pos_idx, pos_take, neg_idx, neg_take = sample_balanced_indices(
+        key, matches, batch_size, positive_fraction)
+
+    def scatter(idx, take):
+        return jax.vmap(
             lambda i, t: jnp.zeros((n,), bool).at[i].set(t)
         )(idx, take)
-        return mask & sel
 
-    return pick(kp, is_pos, num_pos), pick(kn, is_neg, num_neg)
+    return scatter(pos_idx, pos_take), scatter(neg_idx, neg_take)

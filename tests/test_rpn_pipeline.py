@@ -125,6 +125,121 @@ def test_rpn_losses_grad_finite():
     assert np.abs(np.asarray(go)).max() > 0
 
 
+def _rpn_losses_full_n(cfg, key, objectness, pred_deltas, anchors, gt_boxes,
+                       gt_mask, padding_mask=None, max_mesh_dim=160):
+    """The round-2 full-anchor masked formulation (encode/decode/reg over
+    all N, loss masked): the oracle the gathered-row production path must
+    reproduce."""
+    from nerf_rpn_tpu.models.rpn import _rotated_iou_loss
+    from nerf_rpn_tpu.ops.aabb import pairwise_iou_aabb
+    from nerf_rpn_tpu.ops.obb import obb2hbb_3d, obb2points_3d
+    from nerf_rpn_tpu.utils.losses import bce_with_logits, smooth_l1
+    from nerf_rpn_tpu.utils.projection import project_points
+    from nerf_rpn_tpu.utils.target_assign import (
+        match_anchors,
+        sample_balanced_batch,
+    )
+
+    b, n = objectness.shape
+
+    def assign_one(gt, mask, pad):
+        gt_for_iou = obb2hbb_3d(gt) if cfg.rotated else gt
+        iou = pairwise_iou_aabb(gt_for_iou, anchors)
+        iou = jnp.where(pad[None, :], iou, -1.0)
+        matches = match_anchors(iou, mask, cfg.fg_iou_thresh,
+                                cfg.bg_iou_thresh, allow_low_quality=True)
+        matches = jnp.where(pad, matches, -2)
+        onehot = jax.nn.one_hot(jnp.clip(matches, 0), gt.shape[0],
+                                dtype=gt.dtype)
+        return matches, onehot @ gt
+
+    pads = padding_mask if padding_mask is not None else jnp.ones((b, n), bool)
+    matches, matched_gt = jax.vmap(assign_one)(gt_boxes, gt_mask, pads)
+    pos_mask, neg_mask = sample_balanced_batch(
+        key, matches, cfg.batch_size_per_mesh, cfg.positive_fraction)
+    sampled = pos_mask | neg_mask
+    num_sampled = jnp.maximum(jnp.sum(sampled), 1.0)
+    num_pos = jnp.maximum(jnp.sum(pos_mask), 1.0)
+    labels = (matches >= 0).astype(objectness.dtype)
+    obj_loss = jnp.sum(bce_with_logits(objectness, labels) * sampled) / num_sampled
+    targets = cfg.encode(matched_gt, anchors[None].repeat(b, 0))
+    if cfg.reg_loss_type == "smooth_l1":
+        reg = smooth_l1(pred_deltas, targets, beta=1.0 / 9)
+        reg_loss = jnp.sum(reg * pos_mask[..., None]) / num_sampled
+        proposals = None
+    else:
+        proposals = cfg.decode(pred_deltas, anchors[None].repeat(b, 0))
+        per_box = _rotated_iou_loss(proposals, matched_gt, cfg.reg_loss_type)
+        reg_loss = jnp.sum(per_box * pos_mask) / num_sampled
+    out = {"loss_objectness": obj_loss, "loss_rpn_box_reg": reg_loss}
+    if cfg.reg_loss_weight_2d > 0:
+        if proposals is None:
+            proposals = cfg.decode(pred_deltas, anchors[None].repeat(b, 0))
+        if cfg.rotated:
+            pred_pts, tgt_pts = obb2points_3d(proposals), obb2points_3d(matched_gt)
+        else:
+            pred_pts = proposals.reshape(b, n, 2, 3)
+            tgt_pts = matched_gt.reshape(b, n, 2, 3)
+        l2d = smooth_l1(project_points(pred_pts, max_mesh_dim),
+                        project_points(tgt_pts, max_mesh_dim), beta=1.0 / 9)
+        out["loss_rpn_box_reg_2d"] = (
+            jnp.sum(l2d * pos_mask[..., None, None, None]) / num_pos / max_mesh_dim)
+    else:
+        out["loss_rpn_box_reg_2d"] = jnp.zeros(())
+    return out
+
+
+def test_rpn_losses_gathered_matches_full_n():
+    """The sampled-row loss must equal the full-anchor masked formulation
+    (same key -> same sampled sets) for every reg-loss family, with and
+    without padding masks."""
+    for rotated, loss_type, w2d in (
+        (False, "smooth_l1", 0.0),
+        (False, "smooth_l1", 0.1),
+        (True, "smooth_l1", 0.0),
+        (True, "linear_iou", 0.1),
+        (True, "diou", 0.0),
+    ):
+        cfg, anchors, counts, obj, deltas, gt, gt_mask = _toy_inputs(
+            rotated=rotated, seed=3)
+        cfg = make_cfg(rotated=rotated, reg_loss_type=loss_type,
+                       reg_loss_weight_2d=w2d)
+        pad = dynamic_padding_masks(
+            LEVEL_SHAPES, [(4, 4, 4), (8, 8, 8)], 1,
+            jnp.asarray([[32, 32, 32], [20, 32, 24]]))
+        for padding in (None, pad):
+            key = jax.random.PRNGKey(7)
+            got = rpn_losses(cfg, key, obj, deltas, jnp.asarray(anchors),
+                             gt, gt_mask, padding_mask=padding,
+                             max_mesh_dim=32)
+            want = _rpn_losses_full_n(cfg, key, obj, deltas,
+                                      jnp.asarray(anchors), gt, gt_mask,
+                                      padding_mask=padding, max_mesh_dim=32)
+            for k in want:
+                np.testing.assert_allclose(
+                    float(got[k]), float(want[k]), rtol=2e-5, atol=1e-6,
+                    err_msg=f"{k} rotated={rotated} {loss_type} pad={padding is not None}")
+
+            # per-level native-layout deltas (the train-step path): same key
+            # -> identical losses again
+            b = obj.shape[0]
+            d = cfg.delta_dim
+            offs = np.concatenate([[0], np.cumsum(counts)])
+            deltas_levels = [
+                deltas[:, offs[i]:offs[i + 1]].reshape(
+                    b, *LEVEL_SHAPES[i], 1 * d)
+                for i in range(len(LEVEL_SHAPES))
+            ]
+            got_l = rpn_losses(cfg, key, obj, deltas_levels,
+                               jnp.asarray(anchors), gt, gt_mask,
+                               padding_mask=padding, max_mesh_dim=32,
+                               level_counts=counts, anchors_per_loc=1)
+            for k in want:
+                np.testing.assert_allclose(
+                    float(got_l[k]), float(want[k]), rtol=2e-5, atol=1e-6,
+                    err_msg=f"levels {k} rotated={rotated} {loss_type}")
+
+
 def test_generate_proposals_shapes_and_masking():
     cfg, anchors, counts, obj, deltas, gt, gt_mask = _toy_inputs()
     out = generate_proposals(
