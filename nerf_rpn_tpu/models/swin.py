@@ -33,6 +33,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from nerf_rpn_tpu.models.fpn import FPN
+from nerf_rpn_tpu.ops.activations import erf_gelu
 
 SWIN_VARIANTS = {
     "swin_t": dict(embed_dim=96, depths=(2, 2, 6, 2), num_heads=(3, 6, 12, 24)),
@@ -258,7 +259,12 @@ class SwinBlock(nn.Module):
         )
         h = ln("norm2")(x)
         h = nn.Dense(int(self.dim * self.mlp_ratio), dtype=self.dtype, name="mlp_fc1")(h)
-        h = nn.gelu(h, approximate=False)  # erf form (torch nn.GELU parity)
+        # erf-form GELU (torch nn.GELU parity) with the A&S-7.1.26
+        # polynomial erf: the MLP blocks are VPU-transcendental-bound and
+        # lax.erf's lowering costs ~0.7 ms per stage-0 block (same-session
+        # A/B: erf-gelu 1.63 ms vs relu 0.90 — ops/activations.py); the
+        # poly is exact to 1.5e-7 (bit-identical bf16 outputs, measured)
+        h = erf_gelu(h)
         if _mlp_barrier():
             # keep fc1+gelu OUT of fc2's fusion: XLA otherwise megafuses the
             # whole MLP (LN apply + both matmuls + residual) into one fusion
