@@ -11,6 +11,7 @@ the Pallas/gather align).
 from __future__ import annotations
 
 import argparse
+import json
 import os
 from concurrent.futures import ThreadPoolExecutor
 
@@ -56,7 +57,8 @@ def parse_args(argv=None):
     p.add_argument("--pretrained", default="", help="Pretrained backbone (fine_tune).")
     p.add_argument("--fine_tune", action="store_true")
     p.add_argument("--backbone_type", default="resnet",
-                   choices=["resnet", "vgg_AF", "vgg_EF", "swin"])
+                   choices=["resnet", "resnet_tiny", "vgg_AF", "vgg_EF",
+                            "swin"])
     p.add_argument("--backbone_input_dim", type=int, default=4)
     p.add_argument("--resolution", type=int, default=160)
     p.add_argument("--normalize_density", action="store_true")
@@ -359,6 +361,19 @@ class Trainer:
         ap50 = evaluate_box_proposals_ap(refined_list, filt_scores_list,
                                          gt_list, 0.5, args.top_k)
         self.logger.info(f"AP@25 {ap25['ap']:.4f}  AP@50 {ap50['ap']:.4f}")
+        if args.save_path:
+            # eval.json, mirroring the stage-1 drivers' convention (the
+            # reference stage-2 only logs; a machine-readable dump feeds
+            # the synthetic quality gate)
+            os.makedirs(args.save_path, exist_ok=True)
+            clean = {
+                k: {kk: (vv.tolist() if isinstance(vv, np.ndarray) else vv)
+                    for kk, vv in v.items()}
+                for k, v in (("ap_25", ap25), ("ap_50", ap50))
+            }
+            clean["classification"] = {k: float(v) for k, v in cls.items()}
+            with open(os.path.join(args.save_path, "eval.json"), "w") as f:
+                json.dump(clean, f, indent=2)
         if args.output_proposals:
             common.output_proposals_npz(
                 args.save_path, names, refined_list, filt_scores_list,

@@ -103,6 +103,59 @@ def generate_scene(rng, resolution=(32, 32, 32), max_boxes=3,
     return rgbsigma, np.asarray(boxes, np.float32)
 
 
+def _iou_aabb_np(a, b):
+    lo = np.maximum(a[:3], b[:3])
+    hi = np.minimum(a[3:6], b[3:6])
+    inter = np.prod(np.clip(hi - lo, 0, None))
+    va = np.prod(a[3:6] - a[:3])
+    vb = np.prod(b[3:6] - b[:3])
+    return inter / max(va + vb - inter, 1e-9)
+
+
+def write_synthetic_rois(data_dir, roi_dir, resolution=(32, 32, 32),
+                         pos_per_gt=3, n_neg=8, jitter=1.5, seed=0):
+    """Stage-2 inputs for the RCNN quality gate: per-scene proposal npz.
+
+    For every ``{name}.npy`` AABB gt file in ``data_dir``, writes
+    ``{name}.npz`` in ``roi_dir`` with ``proposals`` (R, 6) and
+    ``level_indices`` (R,) int32 — the stage-1 ``--output_proposals`` dump
+    contract the RCNN driver consumes (``data/datasets.py::
+    RPNClassificationDataset``).  Positives are gt boxes with corners
+    jittered by up to ``jitter`` voxels (IoU ~0.5-0.9 -> foreground under
+    the default 0.35 threshold); negatives are rejection-sampled random
+    boxes with IoU < 0.1 against every gt.  A correctly-wired second stage
+    must separate them near-perfectly and refine the positives back onto
+    the gt.
+    """
+    os.makedirs(roi_dir, exist_ok=True)
+    rng = np.random.default_rng(seed)
+    res = np.asarray(resolution, np.float32)
+    for fn in sorted(os.listdir(data_dir)):
+        if not fn.endswith(".npy"):
+            continue
+        gt = np.load(os.path.join(data_dir, fn)).astype(np.float32)
+        assert gt.shape[1] == 6, "rcnn gate is AABB-only"
+        rois = []
+        for box in gt:
+            for _ in range(pos_per_gt):
+                r = box + rng.uniform(-jitter, jitter, 6)
+                lo = np.minimum(r[:3], r[3:] - 1.0)
+                rois.append(np.concatenate([np.clip(lo, 0, None),
+                                            np.minimum(r[3:], res)]))
+        negs = 0
+        while negs < n_neg:
+            size = rng.uniform(3, 9, 3)
+            lo = rng.uniform(0, res - size)
+            cand = np.concatenate([lo, lo + size]).astype(np.float32)
+            if all(_iou_aabb_np(cand, g) < 0.1 for g in gt):
+                rois.append(cand)
+                negs += 1
+        rois = np.asarray(rois, np.float32)
+        np.savez(os.path.join(roi_dir, fn[:-len(".npy")] + ".npz"),
+                 proposals=rois,
+                 level_indices=np.zeros((len(rois),), np.int32))
+
+
 def write_synthetic_dataset(out_dir, n_train=24, n_val=4, n_test=8,
                             resolution=(32, 32, 32), rotated=False,
                             max_boxes=3, box_size=(8.0, 18.0), seed=0):

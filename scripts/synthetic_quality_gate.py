@@ -13,7 +13,7 @@ localizes", and this catches it.
 
 Usage (CPU-forced by default so it can run beside a TPU job):
 
-    python scripts/synthetic_quality_gate.py            # all four combos
+    python scripts/synthetic_quality_gate.py            # all five combos
     python scripts/synthetic_quality_gate.py --combos rpn_aabb fcos_obb
 
 The pytest wrappers in ``tests/test_synthetic_quality.py`` run the same
@@ -36,7 +36,11 @@ GATES = {
     "rpn_obb": 0.8,
     "fcos_aabb": 0.9,
     "fcos_obb": 0.8,
+    # stage-2 RCNN fine-tune: AP@25 of the refined+filtered proposals, plus
+    # a classification-accuracy gate checked separately in run_combo
+    "rcnn": 0.8,
 }
+RCNN_ACCURACY_GATE = 0.9
 
 
 def _common_data_args(data_dir):
@@ -113,6 +117,53 @@ def run_fcos_gate(data_dir, save_path, rotated, num_epochs=60, seed=0):
         return json.load(f)
 
 
+def run_rcnn_gate(data_dir, save_path, num_epochs=40, seed=0):
+    """Train + eval the stage-2 RCNN fine-tune via the real driver.
+
+    Inputs are the synthetic scenes plus generated proposal dumps
+    (jittered-gt positives, far negatives —
+    ``data/synthetic.write_synthetic_rois``); the gate asserts the refined+
+    filtered AP@25 and the objectness classification accuracy from the
+    driver's eval.json.
+    """
+    from nerf_rpn_tpu.cli import run_rpn_detect
+
+    roi_dir = os.path.join(data_dir, "rois")
+    common = [
+        "--features_path", data_dir,
+        "--boxes_path", data_dir,
+        "--rois_path", roi_dir,
+        "--dataset_split", os.path.join(data_dir, "split.npz"),
+        "--save_path", save_path,
+        "--fine_tune", "--remap",
+        "--backbone_type", "resnet_tiny",
+        "--feature_input_dim", "32",
+        "--resolution", "32",
+        "--output_size", "2", "2", "2",
+        "--is_flatten",
+        "--max_rois", "20",
+        "--cls_batch_size", "64",
+        "--batch_size", "4",
+        "--nms_thresh", "0.3",
+        "--filter_score_threhold", "0.5",
+        "--filter_num_threhold", "20",
+    ]
+    run_rpn_detect.main(common + [
+        "--mode", "train",
+        "--num_epochs", str(num_epochs),
+        "--lr", "3e-3",
+        "--eval_interval", "5",
+        "--log_to_file",
+        "--seed", str(seed),
+    ])
+    run_rpn_detect.main(common + [
+        "--mode", "eval",
+        "--checkpoint", os.path.join(save_path, "model_best"),
+    ])
+    with open(os.path.join(save_path, "eval.json")) as f:
+        return json.load(f)
+
+
 def parse_recall_curve(log_path):
     """Val Recall@50 per eval from the driver's own log file (one 'Top N:
     Recall@50 x ...' line per eval_interval epochs)."""
@@ -130,14 +181,27 @@ def parse_recall_curve(log_path):
 
 
 def run_combo(combo, work_dir, num_epochs=60, seed=0):
-    """Generate data, train, eval; returns (ap25, ap50, recall25, eval.json,
-    val-recall curve)."""
-    from nerf_rpn_tpu.data.synthetic import write_synthetic_dataset
+    """Generate data, train, eval; returns (ap25, ap50, aux_metric,
+    eval.json, val curve).  aux_metric is Recall@25 for the stage-1 combos
+    and classification accuracy for the rcnn combo."""
+    from nerf_rpn_tpu.data.synthetic import (
+        write_synthetic_dataset,
+        write_synthetic_rois,
+    )
 
     rotated = combo.endswith("obb")
     data_dir = os.path.join(work_dir, f"data_{combo}")
     save_path = os.path.join(work_dir, f"out_{combo}")
     write_synthetic_dataset(data_dir, rotated=rotated, seed=seed)
+
+    if combo == "rcnn":
+        write_synthetic_rois(data_dir, os.path.join(data_dir, "rois"),
+                             seed=seed)
+        results = run_rcnn_gate(data_dir, save_path,
+                                num_epochs=min(num_epochs, 40), seed=seed)
+        return (results["ap_25"]["ap"], results["ap_50"]["ap"],
+                results["classification"]["accuracy"], results, [])
+
     runner = run_rpn_gate if combo.startswith("rpn") else run_fcos_gate
     results = runner(data_dir, save_path, rotated,
                      num_epochs=num_epochs, seed=seed)
@@ -173,13 +237,16 @@ def main(argv=None):
     failures, summary = [], {}
     for combo in args.combos:
         t0 = time.time()
-        ap25, ap50, r25, _, curve = run_combo(
+        ap25, ap50, aux, _, curve = run_combo(
             combo, work_dir, num_epochs=args.num_epochs, seed=args.seed)
         gate = GATES[combo]
         ok = ap25 >= gate
+        aux_key = "cls_accuracy" if combo == "rcnn" else "recall25"
+        if combo == "rcnn":
+            ok = ok and aux >= RCNN_ACCURACY_GATE
         summary[combo] = {
             "combo": combo, "ap25": round(ap25, 4), "ap50": round(ap50, 4),
-            "recall25": round(r25, 4), "gate_ap25": gate, "pass": ok,
+            aux_key: round(aux, 4), "gate_ap25": gate, "pass": ok,
             "val_recall50_curve": [round(v, 3) for v in curve],
             "minutes": round((time.time() - t0) / 60, 1),
         }

@@ -16,7 +16,11 @@ import os
 import numpy as np
 import pytest
 
-from nerf_rpn_tpu.data.synthetic import generate_scene, write_synthetic_dataset
+from nerf_rpn_tpu.data.synthetic import (
+    generate_scene,
+    write_synthetic_dataset,
+    write_synthetic_rois,
+)
 
 gate = pytest.mark.skipif(
     os.environ.get("NERF_RPN_QUALITY_GATE") != "1",
@@ -77,6 +81,28 @@ def test_write_synthetic_dataset_layout(tmp_path):
     assert np.load(tmp_path / "synth000.npy").shape[1] == 6
 
 
+def test_write_synthetic_rois_contract(tmp_path):
+    """Positives overlap their gt above the fg threshold, negatives stay
+    below the bg threshold, and the npz layout matches the stage-1 dump."""
+    from nerf_rpn_tpu.data.synthetic import _iou_aabb_np
+
+    write_synthetic_dataset(str(tmp_path), n_train=2, n_val=1, n_test=1)
+    roi_dir = tmp_path / "rois"
+    write_synthetic_rois(str(tmp_path), str(roi_dir))
+    files = sorted(os.listdir(roi_dir))
+    assert len(files) == 4
+    for fn in files:
+        gt = np.load(tmp_path / fn.replace(".npz", ".npy"))
+        with np.load(roi_dir / fn) as f:
+            rois, levels = f["proposals"], f["level_indices"]
+        assert levels.dtype == np.int32 and len(levels) == len(rois)
+        n_pos = 3 * len(gt)
+        for r in rois[:n_pos]:
+            assert max(_iou_aabb_np(r, g) for g in gt) >= 0.35
+        for r in rois[n_pos:]:
+            assert max(_iou_aabb_np(r, g) for g in gt) < 0.15
+
+
 def _run_gate(combo, tmp_path, num_epochs):
     from scripts.synthetic_quality_gate import GATES, run_combo
 
@@ -106,3 +132,19 @@ def test_quality_fcos_aabb(tmp_path):
 @gate
 def test_quality_fcos_obb(tmp_path):
     _run_gate("fcos_obb", tmp_path, num_epochs=60)
+
+
+@gate
+def test_quality_rcnn(tmp_path):
+    """Stage-2 fine-tune: refined+filtered AP@25 and objectness
+    classification accuracy on synthetic proposals."""
+    from scripts.synthetic_quality_gate import (
+        GATES,
+        RCNN_ACCURACY_GATE,
+        run_combo,
+    )
+
+    ap25, ap50, acc, _, _ = run_combo("rcnn", str(tmp_path), num_epochs=40)
+    print(f"rcnn: ap25={ap25:.4f} ap50={ap50:.4f} cls_accuracy={acc:.4f}")
+    assert ap25 >= GATES["rcnn"], ap25
+    assert acc >= RCNN_ACCURACY_GATE, acc
