@@ -89,8 +89,9 @@ def main():
 
     p0 = WithLN(PatchEmbed3D(96, (4, 4, 4), dtype=jnp.bfloat16))
     p1 = WithLN(StagedS2DEmbed())
-    p2 = WithLN(S2DPatchEmbed())
+    p2 = S2DPatchEmbed()   # has its own LN inside
     pc = init_params(p0, xf)
+    p2_params = init_params(p2, xf)
 
     # numerical sanity: staged channel order == conv kernel flatten
     small = xf[:, :16, :16, :16]
@@ -100,12 +101,13 @@ def main():
     print({"staged_vs_committed_max_err": err})
     assert err < 0.05, err
 
-    cases = [("p0_committed_regroup_conv", p0, xf),
-             ("p1_staged_s2d_matmul", p1, xf),
-             ("p2_oneshot_s2d_matmul", p2, xf),
-             ("p3_staged_s2d_matmul_bf16in", p1, xb)]
-    for name, mod, x in cases:
-        slope_time(name, module_chain(mod, pc), x)
+    cases = [("p0_committed_regroup_conv", p0, pc, xf),
+             ("p1_staged_s2d_matmul", p1, pc, xf),
+             ("p2_oneshot_s2d_matmul", p2, p2_params, xf),
+             ("p3_staged_s2d_matmul_bf16in", p1, pc, xb),
+             ("p4_committed_regroup_conv_bf16in", p0, pc, xb)]
+    for name, mod, params, x in cases:
+        slope_time(name, module_chain(mod, params), x)
 
 
 if __name__ == "__main__":

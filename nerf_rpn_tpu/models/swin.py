@@ -307,11 +307,13 @@ class PatchEmbed3D(nn.Module):
 
     TPU note: a direct C_in=4 conv is pathological (the 4-lane channel dim
     gets padded, turning a ~5 GFLOP op into ~4.5 ms of HBM shuffling at
-    208x208x144).  When the spatial dims divide the patch size, the (z, c)
-    dims are regrouped into lanes with a FREE contiguous reshape and the op
-    becomes a (px, py, 1)-kernel conv over C_in = pz*c channels — measured
-    2.3x faster (benchmarks/microbench_pe2.py).  Falls back to the plain
-    conv for indivisible shapes (SAME padding, as before).
+    208x208x144).  When the spatial dims divide the patch size, the patch
+    window is folded into the channel dim with STAGED space-to-depth
+    merges (free z view, then layout-friendly y and x transposes) and the
+    embed becomes one clean MXU matmul — 2.25 -> 1.58 ms vs the previous
+    (px, py, 1)-kernel regroup conv, which itself was 2.3x over the naive
+    conv (benchmarks/microbench_pe{2,4}.py).  Falls back to the plain conv
+    for indivisible shapes (SAME padding, as before).
     """
 
     features: int
@@ -333,12 +335,26 @@ class PatchEmbed3D(nn.Module):
                 window_strides=self.patch, padding="SAME",
                 dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
         else:
-            x2 = x.reshape(b, sx, sy, sz // pz, pz * c)          # free view
-            k2 = kernel.reshape(px, py, 1, pz * c, self.features)  # free view
-            y = jax.lax.conv_general_dilated(
-                x2.astype(self.dtype), k2.astype(self.dtype),
-                window_strides=(px, py, 1), padding="VALID",
-                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+            # Staged space-to-depth + one MXU matmul.  The z-merge is a
+            # FREE contiguous view; the y/x merges move (Z/pz, k*c)
+            # contiguous runs (>= 1 KB) instead of the 128-byte runs of a
+            # one-shot 6D space-to-depth transpose.  Minor-axis channel
+            # order after the merges is (px, py, pz, c) — exactly the
+            # row-major flatten of the Conv kernel, so parameters keep the
+            # reference layout.  A/B at 208x208x144 bf16-in: regroup conv
+            # 2.25 ms -> 1.58 ms (benchmarks/microbench_pe4.py; the former
+            # conv paid a 0.77 ms XLA input-relayout copy at 145 GB/s).
+            x2 = x.astype(self.dtype).reshape(b, sx, sy, sz // pz, pz * c)
+            x2 = x2.reshape(b, sx, sy // py, py, sz // pz, pz * c)
+            x2 = x2.transpose(0, 1, 2, 4, 3, 5)
+            x2 = x2.reshape(b, sx, sy // py, sz // pz, py * pz * c)
+            x2 = x2.reshape(b, sx // px, px, sy // py, sz // pz,
+                            py * pz * c)
+            x2 = x2.transpose(0, 1, 3, 4, 2, 5)
+            x2 = x2.reshape(b, sx // px, sy // py, sz // pz,
+                            px * py * pz * c)
+            w = kernel.reshape(px * py * pz * c, self.features)
+            y = jnp.dot(x2, w.astype(self.dtype))
         return y + bias.astype(self.dtype)
 
 
