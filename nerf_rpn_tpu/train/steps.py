@@ -30,14 +30,22 @@ def level_shapes_for(mesh_shape: Sequence[int], strides: Sequence[int]):
 def _swin_split_units(model):
     """Swin-backbone eval compile units, or ``None`` for other backbones.
 
-    Swin inference runs as THREE compile units: [patch-embed conv] |
+    Swin inference runs as split compile units: [patch embed (+ stages)] |
     [conv-free stages, Pallas window attention ON] | [FPN + head convs].
     The Pallas kernel wins ~2x at block scale but loses ~5 ms when convs
     share its XLA program (layout-assignment poison, see
     ShiftedWindowAttention3D); in its own conv-free unit it wins ~2.8 ms at
-    the bench shape (benchmarks/microbench_split_jits.py).  Returns
-    (fwd_embed jit, fwd_stages jit, neck apply) — the caller wraps ``neck``
-    plus its head into the third jit.  The
+    the bench shape (benchmarks/microbench_split_jits.py).  Since the
+    staged-s2d patch embed (microbench_pe4.py) the embed unit is conv-free
+    too for 4-divisible grids, but MERGING it into the stages unit measured
+    WORSE (35.44 -> 33.97 scenes/s same-session: the embed matmul joining
+    the Pallas-attention program shifts XLA's fusion/layout choices), so
+    the separate units stay the default; ``NERF_RPN_TPU_MERGE_EMBED=1`` is
+    the experiment knob.
+
+    Returns (backbone_units, neck): ``backbone_units`` is a tuple of
+    jitted fns chained grids -> ... -> per-stage features; the caller
+    wraps ``neck`` plus its head into the final jit.  The
     ``NERF_RPN_TPU_FUSED_MIN_WINDOWS`` env var (0 = XLA attention) is the
     experiment knob used by benchmarks/trace_forward.py --jnp-attn.
     """
@@ -61,11 +69,20 @@ def _swin_split_units(model):
         return bb.apply({"params": state.params["backbone"]}, tokens,
                         stage="stages")
 
+    @jax.jit
+    def fwd_embed_stages(state, grids):
+        tokens = bb.apply({"params": state.params["backbone"]}, grids,
+                          stage="embed")
+        return bb.apply({"params": state.params["backbone"]}, tokens,
+                        stage="stages")
+
     def neck(state, stage_feats):
         return bb.apply({"params": state.params["backbone"]}, stage_feats,
                         stage="neck")
 
-    return fwd_embed, fwd_stages, neck
+    if os.environ.get("NERF_RPN_TPU_MERGE_EMBED", "0") != "0":
+        return (fwd_embed_stages,), neck
+    return (fwd_embed, fwd_stages), neck
 
 
 # ---------------------------------------------------------------------------
@@ -172,7 +189,7 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
     if split is not None:
         from nerf_rpn_tpu.models.heads import RPNHead3D
 
-        fwd_embed, fwd_stages, neck = split
+        backbone_units, neck = split
         head = RPNHead3D(in_channels=256, num_anchors=model.num_anchors,
                          conv_depth=model.conv_depth, rotate=model.rotated,
                          dtype=model.dtype)
@@ -186,11 +203,12 @@ def make_rpn_eval_step(model, cfg: RPNConfig, mesh_shape,
                             stage_feats[0].shape[0])
 
         def forward(state, grids):
-            tokens = fwd_embed(state, grids)
-            stage_feats = fwd_stages(state, tokens)
-            return fwd_neck_head(state, stage_feats)
+            x = grids
+            for unit in backbone_units:
+                x = unit(state, x)
+            return fwd_neck_head(state, x)
 
-        forward_units = (fwd_embed, fwd_stages, fwd_neck_head)
+        forward_units = (*backbone_units, fwd_neck_head)
     else:
         @jax.jit
         def forward(state, grids):
@@ -448,7 +466,7 @@ def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
     if split is not None:
         from nerf_rpn_tpu.models.heads import FCOSHead3D
 
-        fwd_embed, fwd_stages, neck = split
+        backbone_units, neck = split
         head = FCOSHead3D(in_channels=256, num_convs=model.num_convs,
                           rotate=model.rotated,
                           centerness_on_reg=model.centerness_on_reg,
@@ -465,11 +483,12 @@ def make_fcos_eval_step(model, cfg: FCOSConfig, mesh_shape):
             return _flatten(cls, reg, ctr)
 
         def forward(state, grids):
-            tokens = fwd_embed(state, grids)
-            stage_feats = fwd_stages(state, tokens)
-            return fwd_neck_head(state, stage_feats)
+            x = grids
+            for unit in backbone_units:
+                x = unit(state, x)
+            return fwd_neck_head(state, x)
 
-        forward_units = (fwd_embed, fwd_stages, fwd_neck_head)
+        forward_units = (*backbone_units, fwd_neck_head)
     else:
         @jax.jit
         def forward(state, grids):
