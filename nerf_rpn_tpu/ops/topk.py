@@ -8,9 +8,13 @@ trace's two sorts = 2.8 ms of the 6.7 ms proposal stage).
 The large-N path here is an exact radix select instead — identical results
 to ``lax.top_k`` including its lowest-index-first tie order:
 
-1. Map values to order-preserving uint32 keys (sign-flip trick).
-2. Descend 8 nibbles: per round, a fused compare+reduce histogram (one
-   ~4 B/element sweep) pins the next 4 bits of the exact k-th largest key.
+1. Map values to order-preserving uint32 keys (sign-flip trick); bf16
+   inputs map to 16-bit keys directly (the f32 cast is exact, so order
+   and ties are unchanged).
+2. Descend 8 nibbles (4 for bf16): per round, a fused compare+reduce
+   histogram (one ~4 B/element sweep) pins the next 4 bits of the exact
+   k-th largest key.  The rounds are sequential full-array sweeps — the
+   latency-bound part — so the bf16 path halves them.
    No data-dependent control flow — vmap/jit safe, static shapes.
 3. The k-th key value t splits the top-k into all keys > t (fewer than k by
    construction) plus the FIRST (by index) remaining keys == t — both sets
@@ -37,18 +41,35 @@ def _monotone_keys(x: jax.Array) -> jax.Array:
     return jnp.where(neg, ~bits, bits | jnp.uint32(0x80000000))
 
 
-def _kth_key(keys: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
+def _monotone_keys_bf16(x: jax.Array) -> jax.Array:
+    """bf16 values -> 16-bit keys (in uint32) with the same total order.
+
+    bf16 is truncated IEEE f32, so the sign-flip trick works on its 16 raw
+    bits directly; the descent then needs only 4 nibble rounds instead of 8
+    — the rounds are SEQUENTIAL full-array sweeps, so this halves the
+    latency-bound part of the radix select.  Order (including ±0 and ties)
+    is identical to casting to f32 first: the cast is exact.
+    """
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint16)
+    neg = (bits >> 15).astype(bool)
+    k16 = jnp.where(neg, ~bits, bits | jnp.uint16(0x8000))
+    return k16.astype(jnp.uint32)
+
+
+def _kth_key(keys: jax.Array, k: int,
+             rounds: int = 8) -> tuple[jax.Array, jax.Array]:
     """Exact k-th largest key of a 1-D uint32 array, by nibble descent.
 
-    Returns (t, n_gt): the k-th largest key value and the count of keys
-    strictly greater than it (always < k).
+    ``rounds``: number of 4-bit rounds (8 for full uint32 keys, 4 for
+    16-bit keys stored in uint32).  Returns (t, n_gt): the k-th largest
+    key value and the count of keys strictly greater than it (always < k).
     """
     nib_ids = jnp.arange(16, dtype=jnp.uint32)
     prefix = jnp.uint32(0)
     k_rem = jnp.int32(k)
     n_gt = jnp.int32(0)
-    for r in range(7, -1, -1):
-        if r == 7:
+    for r in range(rounds - 1, -1, -1):
+        if r == rounds - 1:
             match = jnp.ones(keys.shape, bool)
         else:
             hi = jnp.uint32(4 * (r + 1))
@@ -71,8 +92,12 @@ def _radix_top_k_1d(x: jax.Array, k: int) -> tuple[jax.Array, jax.Array]:
     from nerf_rpn_tpu.ops.nms import _compact_indices
 
     n = x.shape[0]
-    keys = _monotone_keys(x)
-    t, n_gt = _kth_key(keys, k)
+    if x.dtype == jnp.bfloat16:
+        keys = _monotone_keys_bf16(x)
+        t, n_gt = _kth_key(keys, k, rounds=4)
+    else:
+        keys = _monotone_keys(x)
+        t, n_gt = _kth_key(keys, k)
     pad = (-n) % 32
     gt = keys > t
     eq = keys == t

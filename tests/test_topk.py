@@ -73,3 +73,24 @@ def test_radix_bench_shape(rng):
     # level-0 of the bench workload: ~1.27M anchors, k = 2500
     x = jnp.asarray(rng.normal(size=(1, 200_000)).astype(np.float32))
     _assert_same(x, 2500, chunk=131072)
+
+
+def test_radix_bf16_fast_path(rng):
+    """bf16 inputs take the 4-round 16-bit key descent; results must still
+    equal lax.top_k on the same bf16 values — values AND tie order (bf16
+    quantisation makes exact ties common, exercising the eq-compaction)."""
+    x = jnp.asarray(rng.normal(size=(2, 6000)).astype(np.float32)
+                    ).astype(jnp.bfloat16)
+    for k in (1, 7, 150):
+        _assert_same(x, k, chunk=512)
+
+
+def test_radix_bf16_neg_inf_and_ties(rng):
+    x = np.full((1, 5000), -np.inf, np.float32)
+    x[0, [11, 222, 4999]] = [3.0, 2.0, 1.0]
+    xb = jnp.asarray(x).astype(jnp.bfloat16)
+    vals, idx = safe_top_k(xb, 5, chunk=512)
+    np.testing.assert_array_equal(
+        np.asarray(vals, np.float32)[0, :3], [3.0, 2.0, 1.0])
+    assert np.asarray(idx)[0, :3].tolist() == [11, 222, 4999]
+    assert np.asarray(idx)[0, 3:].tolist() == [0, 1]
