@@ -79,7 +79,13 @@ def _rank_select(words: jax.Array, pc: jax.Array, csum: jax.Array,
     bisection selects the rank-th set bit within it — all gathers and
     elementwise ops on (k,) arrays."""
     j = start + jnp.arange(k, dtype=jnp.int32)
-    w = jnp.searchsorted(csum, j, side="right").astype(jnp.int32)
+    # "compare_all" turns the binary search into ONE parallel comparison
+    # fusion; the default "scan" lowers to a ~16-step while whose dependent
+    # (k,)-gather iterations are pure latency (4 such whiles were ~2 ms of
+    # the 4.8 ms proposal stage at the bench shape).  O(W*k) compares are
+    # cheaper than the latency until W is huge; keep scan beyond 64k words.
+    method = "compare_all" if csum.shape[0] <= 65536 else "scan"
+    w = jnp.searchsorted(csum, j, side="right", method=method).astype(jnp.int32)
     ws = jnp.minimum(w, words.shape[0] - 1)
     word = words[ws]
     rem = j - (csum[ws] - pc[ws])                  # rank within word
