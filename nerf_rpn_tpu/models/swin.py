@@ -101,19 +101,52 @@ def _shift_attn_mask(
     return np.where(diff != 0, -100.0, 0.0).astype(np.float32)
 
 
-def _window_partition(x: jax.Array, window: Sequence[int]) -> jax.Array:
-    """(B, X, Y, Z, C) -> (B * nW, N, C) with N = prod(window)."""
+def _window_partition(x: jax.Array, window: Sequence[int],
+                      staged: bool = False) -> jax.Array:
+    """(B, X, Y, Z, C) -> (B * nW, N, C) with N = prod(window).
+
+    ``staged=False``: one 6D transpose.  In INFERENCE XLA fuses it into
+    the LN/qkv neighbourhood and a staged version measured WORSE (37.4 ->
+    35.5 scenes/s, benchmarks/README.md) — keep the one-shot form there.
+
+    ``staged=True`` (training): the bwd graph leaves these as standalone
+    custom fusions at ~18 GB/s (8 x 0.51 ms of the 124 ms train step), so
+    the staged-merge trick (free z-view; y/x copies moving >= 1 KB
+    contiguous runs; free final (N, C) split — same as the staged
+    space-to-depth patch embed) replaces them with two near-roofline
+    copies.  Bit-identical: the staged minor order (wx, wy, wz, C) IS the
+    row-major token order.
+    """
     b, px, py, pz, c = x.shape
     wx, wy, wz = window
+    if staged:
+        nx, ny, nz = px // wx, py // wy, pz // wz
+        x = x.reshape(b, px, py, nz, wz * c)                    # free view
+        x = x.reshape(b, px, ny, wy, nz, wz * c)
+        x = x.transpose(0, 1, 2, 4, 3, 5)
+        x = x.reshape(b, px, ny, nz, wy * wz * c)
+        x = x.reshape(b, nx, wx, ny, nz, wy * wz * c)
+        x = x.transpose(0, 1, 3, 4, 2, 5)
+        return x.reshape(-1, wx * wy * wz, c)                   # free view
     x = x.reshape(b, px // wx, wx, py // wy, wy, pz // wz, wz, c)
     x = x.transpose(0, 1, 3, 5, 2, 4, 6, 7)
     return x.reshape(-1, wx * wy * wz, c)
 
 
 def _window_reverse(x: jax.Array, window: Sequence[int], b: int,
-                    pad_size: Sequence[int]) -> jax.Array:
+                    pad_size: Sequence[int],
+                    staged: bool = False) -> jax.Array:
+    """Inverse of :func:`_window_partition` (same ``staged`` contract)."""
     px, py, pz = pad_size
     wx, wy, wz = window
+    if staged:
+        nx, ny, nz = px // wx, py // wy, pz // wz
+        c = x.shape[-1]
+        x = x.reshape(b, nx, ny, nz, wx, wy * wz * c)           # free view
+        x = x.transpose(0, 1, 4, 2, 3, 5)
+        x = x.reshape(b, px, ny, nz, wy, wz * c)
+        x = x.transpose(0, 1, 2, 4, 3, 5)
+        return x.reshape(b, px, py, pz, c)                      # free view
     x = x.reshape(b, px // wx, py // wy, pz // wz, wx, wy, wz, -1)
     x = x.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return x.reshape(b, px, py, pz, -1)
@@ -160,7 +193,7 @@ class ShiftedWindowAttention3D(nn.Module):
             x = jnp.roll(x, (-shift[0], -shift[1], -shift[2]), axis=(1, 2, 3))
 
         n = wx * wy * wz
-        windows = _window_partition(x, self.window)  # (B*nW, N, C)
+        windows = _window_partition(x, self.window, staged=train)  # (B*nW, N, C)
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(windows)
 
         table = self.param(
@@ -212,7 +245,7 @@ class ShiftedWindowAttention3D(nn.Module):
             y = y.transpose(0, 2, 1, 3).reshape(total_windows, n, c)
 
         y = nn.Dense(self.dim, dtype=self.dtype, name="proj")(y)
-        y = _window_reverse(y, self.window, b, pad_size)
+        y = _window_reverse(y, self.window, b, pad_size, staged=train)
         if sum(shift):
             y = jnp.roll(y, shift, axis=(1, 2, 3))
         return y[:, :sx, :sy, :sz]
