@@ -79,7 +79,7 @@ def capture_train(trace_dir: str, batch: int = 2) -> None:
 
 
 def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False,
-            backbone: str = "swin_s") -> None:
+            backbone: str = "swin_s", batch: int = 1) -> None:
     import jax
     import jax.numpy as jnp
     from flax.core import FrozenDict
@@ -104,7 +104,7 @@ def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False,
                              rotated=True, dtype=jnp.bfloat16)
         cfg = FCOSConfig(rotated=True)
         make_step = lambda: make_fcos_eval_step(model, cfg, shape)
-        ori = jnp.asarray([list(shape)], jnp.int32)
+        ori = jnp.tile(jnp.asarray([list(shape)], jnp.int32), (batch, 1))
     else:
         from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
         from nerf_rpn_tpu.models.rpn import RPNConfig
@@ -115,9 +115,9 @@ def capture(trace_dir: str, jnp_attn: bool, fcos: bool = False,
                         rotated=False, conv_depth=4, dtype=jnp.bfloat16)
         cfg = RPNConfig(rotated=False)
         make_step = lambda: make_rpn_eval_step(model, cfg, shape)
-        ori = jnp.asarray([[200, 200, 130]], jnp.int32)
+        ori = jnp.tile(jnp.asarray([[200, 200, 130]], jnp.int32), (batch, 1))
     # grids arrive in the model dtype (drivers cast in the host collate)
-    grids = jnp.asarray(rng.uniform(0, 1, (1, *shape, 4)).astype(
+    grids = jnp.asarray(rng.uniform(0, 1, (batch, *shape, 4)).astype(
         np.float32)).astype(jnp.bfloat16)
     shapes_v = jax.eval_shape(
         lambda: model.init(jax.random.PRNGKey(0), grids[:, :32, :32, :32]))
@@ -226,6 +226,8 @@ if __name__ == "__main__":
                          "OBB 160^3 batch 2) instead of the eval forward")
     ap.add_argument("--backbone", default="swin_s",
                     help="anchor-RPN backbone to trace (e.g. resnet)")
+    ap.add_argument("--batch", type=int, default=1,
+                    help="eval-forward batch size (the serving bench uses 4)")
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--unit", default="",
                     help="restrict the table to one compile unit, e.g. "
@@ -238,9 +240,12 @@ if __name__ == "__main__":
                      "/tmp/trace_fwd_jnp" if args.jnp_attn else
                      f"/tmp/trace_fwd_{args.backbone}" if
                      args.backbone != "swin_s" else "/tmp/trace_fwd")
+    if args.batch != 1:
+        d += f"_b{args.batch}"
     if not args.report_only:
         if args.train:
             capture_train(d)
         else:
-            capture(d, args.jnp_attn, fcos=args.fcos, backbone=args.backbone)
+            capture(d, args.jnp_attn, fcos=args.fcos, backbone=args.backbone,
+                    batch=args.batch)
     report(d, args.top, unit=args.unit)
