@@ -64,6 +64,34 @@ def ddp_flat_to_grid(flat: np.ndarray, resolution) -> np.ndarray:
         flat.reshape(h, l, w, flat.shape[-1]).transpose(2, 1, 0, 3))
 
 
+def mean_rgb_over_poses(query_fn, poses, points, chunk: int = 65536):
+    """The reference extract task's exact RGB/sigma semantics
+    (``run_nerf.py:1183-1193``): for each training pose, the view direction
+    is the camera's -z axis in world space (``R @ [0, 0, -1]``); RGB is
+    ``sigmoid(raw_rgb)`` averaged over poses; sigma is the RAW (unactivated)
+    density from the final pose query (view-independent in the DDP NeRF, so
+    "last pose" == "any pose").
+
+    ``query_fn(points (N, 3), viewdir (3,)) -> raw (N, 4)`` raw network
+    outputs (pre-sigmoid rgb, pre-activation sigma).  ``poses``: (P, 3, 4)
+    or (P, 4, 4) camera-to-world matrices.  Returns
+    ``(rgb_mean (N, 3), sigma (N,))``.
+    """
+    poses = np.asarray(poses, np.float32)
+    points = np.asarray(points, np.float32)
+    n = points.shape[0]
+    rgb_mean = np.zeros((n, 3), np.float64)
+    sigma = np.zeros((n,), np.float32)
+    for pose in poses:
+        viewdir = pose[:3, :3] @ np.asarray([0.0, 0.0, -1.0], np.float32)
+        for start in range(0, n, chunk):
+            raw = np.asarray(query_fn(points[start:start + chunk], viewdir))
+            rgb_mean[start:start + chunk] += 1.0 / (1.0 + np.exp(-raw[:, :3]))
+            sigma[start:start + chunk] = raw[:, 3]
+    rgb_mean /= len(poses)
+    return rgb_mean.astype(np.float32), sigma
+
+
 def extract_rgbsigma(
     nerf_fn,
     bbox_min,
@@ -74,16 +102,26 @@ def extract_rgbsigma(
     extra_arrays: dict | None = None,
     centers: bool = True,
     ddp_layout: bool = False,
+    scale: float = 1.0,
+    offset=(0.0, 0.0, 0.0),
+    from_mitsuba: bool = False,
 ):
     """Query ``nerf_fn`` over the grid and assemble (W, L, H, 4) rgbsigma.
 
-    ``nerf_fn(points (N, 3)) -> (rgb (N, 3) in [0, 1], sigma (N,) raw)``.
-    When ``output_file`` is given, writes the npz with rgbsigma, resolution,
-    bbox_min/bbox_max plus any ``extra_arrays`` (scale/offset/from_mitsuba
-    for the ngp pipelines).  ``ddp_layout=True`` writes the reference
-    dense-depth-priors contract instead (``run_nerf.py:1144-1155``): flat
-    (W*L*H, 4) rgbsigma with x-fastest ordering, plus
-    scale/offset/from_mitsuba/from_ddp_nerf fields.
+    ``nerf_fn(points (N, 3)) -> (rgb (N, 3) in [0, 1], sigma (N,) raw)``
+    (wrap a raw per-pose network with :func:`mean_rgb_over_poses` for the
+    reference's exact mean-sigmoid-RGB semantics).  When ``output_file`` is
+    given, writes the npz every downstream consumer reads — ``load_scene``
+    (the datasets), ``proposals2ngp`` and the visualizers all take
+    rgbsigma/resolution/bbox_min/bbox_max/scale/offset/from_mitsuba:
+    the reference extract emits the same keys (``run_nerf.py:1151-1154``)
+    but with a scalar ``offset`` its own ``proposals2ngp`` cannot consume
+    (``perm @ offset`` needs a 3-vector) — ours stores the 3-vector.
+
+    ``ddp_layout=True`` reproduces the reference dense-depth-priors file
+    contract instead (``run_nerf.py:1144-1155``): FLAT (W*L*H, 4) rgbsigma
+    with x-fastest ordering and the scalar offset, plus ``from_ddp_nerf``;
+    use :func:`ddp_flat_to_grid` to ingest such files.
     """
     points, res = build_sample_grid(bbox_min, bbox_max, max_res,
                                     centers=centers)
@@ -101,10 +139,13 @@ def extract_rgbsigma(
             "resolution": np.asarray(res),
             "bbox_min": np.asarray(bbox_min, np.float32),
             "bbox_max": np.asarray(bbox_max, np.float32),
+            "scale": float(scale),
+            "from_mitsuba": bool(from_mitsuba),
         }
         if ddp_layout:
-            payload.update(scale=1.0, offset=0.0, from_mitsuba=False,
-                           from_ddp_nerf=True)
+            payload.update(offset=0.0, from_ddp_nerf=True)
+        else:
+            payload.update(offset=np.asarray(offset, np.float32))
         payload.update(extra_arrays or {})
         np.savez_compressed(output_file, **payload)
     return rgbsigma, res

@@ -31,12 +31,16 @@ def ngp_matrix_to_nerf(m: np.ndarray, scale: float, offset: np.ndarray,
 
 
 def _scene_params(features_dict):
+    # offset may be a scalar (the ScanNet extract writes 0.0,
+    # run_nerf.py:1151-1154 — the reference's own proposals2ngp crashes on
+    # it at `perm @ offset`); broadcast to the 3-vector the math needs
+    offset = np.asarray(features_dict["offset"], np.float64)
     return (
         np.asarray(features_dict["resolution"], np.float64),
         np.asarray(features_dict["bbox_min"], np.float64),
         np.asarray(features_dict["bbox_max"], np.float64),
         float(features_dict["scale"]),
-        np.asarray(features_dict["offset"], np.float64),
+        offset * np.ones(3) if offset.ndim == 0 else offset,
         bool(features_dict["from_mitsuba"]),
     )
 

@@ -221,3 +221,141 @@ def test_fcos_losses_axis_name_shard_map():
         np.testing.assert_allclose(
             np.asarray(out[k]), np.asarray(ref[k]), rtol=2e-5, atol=1e-6,
             err_msg=k)
+
+
+# ---------------------------------------------------------------------------
+# Multi-host seams (mocked process_index/process_count; the reference's
+# DistributedSampler + rank-0 gating contracts, run_rpn.py:336-339,359-370)
+# ---------------------------------------------------------------------------
+
+
+def _fake_dataset(n, rng):
+    """List-like dataset of (rgbsigma, boxes, name) tuples (collate_batch's
+    sample contract); the name encodes the index for tracking."""
+    return [
+        (rng.uniform(0, 1, (8, 8, 8, 4)).astype(np.float32),
+         np.asarray([[1, 1, 1, 5, 5, 5]], np.float32),
+         f"scene{i}")
+        for i in range(n)
+    ]
+
+
+def _iterate_names(dataset, process_index, process_count, seed, shuffle=True,
+                   drop_last=False):
+    from nerf_rpn_tpu.data.datasets import batch_iterator
+
+    names = []
+    for batch in batch_iterator(
+            dataset, batch_size=2, shuffle=shuffle, seed=seed,
+            drop_last=drop_last, process_index=process_index,
+            process_count=process_count, pad_multiple=8, max_gt=4):
+        names.extend(batch["names"])
+    return names
+
+
+def test_batch_iterator_process_sharding_disjoint_and_covering():
+    """Across process_index in 0..N-1 the per-process streams are pairwise
+    disjoint, together cover every scene exactly once, and are balanced to
+    within one sample (the DistributedSampler contract)."""
+    rng = np.random.default_rng(0)
+    n, world = 13, 4
+    ds = _fake_dataset(n, rng)
+    shards = [_iterate_names(ds, p, world, seed=3) for p in range(world)]
+    all_names = [x for s in shards for x in s]
+    assert len(all_names) == n
+    assert set(all_names) == {f"scene{i}" for i in range(n)}
+    for a in range(world):
+        for b in range(a + 1, world):
+            assert not set(shards[a]) & set(shards[b]), (a, b)
+    sizes = sorted(len(s) for s in shards)
+    assert sizes[-1] - sizes[0] <= 1, sizes
+
+
+def test_batch_iterator_process_sharding_deterministic_per_epoch():
+    """Same (seed, process) -> identical order; different seed (the
+    reference's sampler.set_epoch) -> different global permutation; the
+    shuffle must be the SAME permutation on every process (disjointness
+    across hosts depends on it)."""
+    rng = np.random.default_rng(1)
+    ds = _fake_dataset(16, rng)
+    a1 = _iterate_names(ds, 1, 4, seed=7)
+    a2 = _iterate_names(ds, 1, 4, seed=7)
+    assert a1 == a2
+    b1 = _iterate_names(ds, 1, 4, seed=8)
+    assert a1 != b1
+    # global permutation consistency: process p's shard at seed 7 equals
+    # every 4th element of the full seed-7 permutation starting at p
+    full = _iterate_names(ds, 0, 1, seed=7)
+    for p in range(4):
+        assert _iterate_names(ds, p, 4, seed=7) == full[p::4]
+
+
+def test_batch_iterator_drop_last_per_process():
+    """drop_last drops the ragged trailing batch AFTER process slicing (a
+    different trailing batch dim would retrigger compilation per host)."""
+    rng = np.random.default_rng(2)
+    ds = _fake_dataset(13, rng)  # 13 -> process 0 gets 7 -> 3 full batches
+    names = _iterate_names(ds, 0, 2, seed=0, drop_last=True)
+    assert len(names) == 6
+
+
+def test_rank_nonzero_skips_eval_and_checkpoints(tmp_path, monkeypatch):
+    """run_rpn train_loop on a mocked process_index != 0 trains (the step
+    itself is SPMD) but must NOT evaluate or write checkpoints — the
+    reference's rank-0 gating (run_rpn.py:359-370; ours cli/run_rpn.py)."""
+    import os
+
+    from nerf_rpn_tpu.cli import run_rpn
+
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    rng = np.random.default_rng(0)
+    scenes = []
+    for i in range(4):
+        name = f"scene{i}"
+        vol = np.zeros((32, 32, 32, 4), np.float32)
+        lo = rng.integers(2, 16, 3)
+        hi = lo + rng.integers(6, 12, 3)
+        vol[lo[0]:hi[0], lo[1]:hi[1], lo[2]:hi[2]] = 1.0
+        np.savez(data_dir / f"{name}.npz", rgbsigma=vol)
+        np.save(data_dir / f"{name}.npy",
+                np.asarray([[*lo, *hi]], np.float32))
+        scenes.append(name)
+    np.savez(data_dir / "split.npz",
+             train_scenes=np.array(scenes[:2]),
+             val_scenes=np.array(scenes[2:3]),
+             test_scenes=np.array(scenes[3:]))
+
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+    save = tmp_path / "out"
+    args = run_rpn.parse_args([
+        "--mode", "train",
+        "--dataset_name", "hypersim",
+        "--features_path", str(data_dir),
+        "--boxes_path", str(data_dir),
+        "--dataset_split", str(data_dir / "split.npz"),
+        "--save_path", str(save),
+        "--backbone_type", "resnet_tiny",
+        "--resolution", "32",
+        "--num_epochs", "1",
+        "--batch_size", "1",
+        "--rpn_head_conv_depth", "1",
+        "--rpn_pre_nms_top_n_test", "64",
+        "--rpn_post_nms_top_n_test", "32",
+        "--flip_prob", "0", "--rotate_prob", "0", "--rot_scale_prob", "0",
+        "--pad_multiple", "32",
+    ])
+    trainer = run_rpn.Trainer(args)
+
+    calls = []
+    monkeypatch.setattr(
+        trainer, "eval",
+        lambda *a, **k: calls.append(1) or ([], []))
+    trainer.train_loop()
+    assert not calls, "rank!=0 must not run eval"
+    leftover = [p for p in os.listdir(save)
+                if p.startswith(("model_best", "epoch_"))] \
+        if save.is_dir() else []
+    assert not leftover, leftover
