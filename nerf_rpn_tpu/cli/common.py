@@ -114,9 +114,13 @@ def build_datasets(args, mode: str, augment: bool):
 
 
 def unmask_proposals(out: dict, box_dim: int):
-    """Fixed-shape device outputs -> per-scene variable-length numpy lists."""
-    boxes = np.asarray(out["boxes"])
-    scores = np.asarray(out["scores"])
+    """Fixed-shape device outputs -> per-scene variable-length numpy lists.
+
+    Always float32 on the host: under ``--bf16`` the device outputs are
+    bfloat16, which plain-numpy consumers of the dumped npz files
+    (np.isfinite, downstream tools without ml_dtypes) cannot ingest."""
+    boxes = np.asarray(out["boxes"]).astype(np.float32, copy=False)
+    scores = np.asarray(out["scores"]).astype(np.float32, copy=False)
     valid = np.asarray(out["valid"])
     levels = np.asarray(out["level_idx"])
     props, scs, lvls = [], [], []
@@ -160,7 +164,9 @@ def output_voxel_scores_npz(save_path, scene, per_level_scores, ori_size, stride
     all_levels = {}
     for level, score in enumerate(per_level_scores):
         w, l, h = np.ceil(np.asarray(ori_size) / strides[level]).astype(int)
-        all_levels[str(level)] = np.asarray(score)[:w, :l, :h]
+        # float32 at the host boundary (bf16 npz breaks plain-numpy readers)
+        all_levels[str(level)] = (
+            np.asarray(score)[:w, :l, :h].astype(np.float32, copy=False))
     np.savez_compressed(os.path.join(scores_dir, f"{scene}.npz"), **all_levels)
 
 

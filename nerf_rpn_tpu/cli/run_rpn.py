@@ -265,8 +265,10 @@ class Trainer:
         roi_dir = os.path.join(root, "proposals")
         os.makedirs(feat_dir, exist_ok=True)
         os.makedirs(roi_dir, exist_ok=True)
-        feats = [np.asarray(f) for f in out["features"]]
-        boxes = np.asarray(out["boxes"])
+        # float32 at the host boundary (bf16 npz breaks plain-numpy readers)
+        feats = [np.asarray(f).astype(np.float32, copy=False)
+                 for f in out["features"]]
+        boxes = np.asarray(out["boxes"]).astype(np.float32, copy=False)
         scores_v = np.asarray(out["valid"])
         for i, name in enumerate(names):
             # channels-last -> the reference's (C, X, Y, Z) dump layout

@@ -103,6 +103,7 @@ def parse_args(argv=None):
     p.add_argument("--log_to_file", action="store_true")
     p.add_argument("--output_all", action="store_true")
     # TPU extras
+    p.add_argument("--bf16", action="store_true", help="bfloat16 compute path.")
     p.add_argument("--max_rois", type=int, default=1024)
     p.add_argument("--max_gt", type=int, default=64)
     p.add_argument("--num_workers", type=int, default=4,
@@ -137,16 +138,18 @@ class Trainer:
             pool_mode="avg" if args.feature_extracting_type == "interpolation" else "max",
             remap_levels=args.remap,
         )
+        dtype = jnp.bfloat16 if args.bf16 else jnp.float32
         self.head = RCNNHead(
             in_channels=args.feature_input_dim,
             n_classes=args.n_classes,
             rotated=args.rotated_bbox,
             add_conv_layers=args.is_add_layer,
             flatten=args.is_flatten,
+            dtype=dtype,
         )
         bb_type = "swin_s" if args.backbone_type == "swin" else args.backbone_type
         self.backbone = (
-            build_backbone(bb_type, args.resolution)
+            build_backbone(bb_type, args.resolution, dtype=dtype)
             if args.fine_tune else None
         )
         self.spatial_scales = tuple(args.spatial_scale)
@@ -336,10 +339,11 @@ class Trainer:
             fboxes, keep, order = filter_step(
                 out["refined_boxes"], out["scores"], out["valid"],
                 jnp.asarray(mesh_sizes))
-            probs = np.asarray(out["scores"])   # (B, R, 2)
+            # float32 at the host boundary (bf16 breaks plain-numpy readers)
+            probs = np.asarray(out["scores"]).astype(np.float32, copy=False)
             labels = np.asarray(out["labels"])
             valid = np.asarray(out["valid"])
-            fboxes = np.asarray(fboxes)
+            fboxes = np.asarray(fboxes).astype(np.float32, copy=False)
             keep, order = np.asarray(keep), np.asarray(order)
             for i in range(n_real):
                 v = valid[i]

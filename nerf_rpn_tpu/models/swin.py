@@ -338,18 +338,38 @@ class PatchMerging3D(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        import os
+
         b, sx, sy, sz, c = x.shape
         pads = [(0, s % 2) for s in (sx, sy, sz)]
         if any(p[1] for p in pads):
             x = jnp.pad(x, [(0, 0)] + pads + [(0, 0)])
-        # gather the 8 sub-lattices; order matches the reference's concat
-        parts = [
-            x[:, i::2, j::2, k::2, :]
-            for k in (0, 1)
-            for j in (0, 1)
-            for i in (0, 1)
-        ]
-        y = jnp.concatenate(parts, axis=-1)
+        if os.environ.get("NERF_RPN_TPU_MERGE_SLICES", "0") != "0":
+            # 8 strided sub-lattice slices + concat (the reference's form,
+            # feature_extractor.py:649-686).  The BACKWARD of each slice
+            # lowers to a chained scatter-add — 8 x 0.51 ms at 18 GB/s on
+            # the stage-0 merge alone (r4 train trace, swin.py merge_1) —
+            # kept only as the A/B baseline knob.
+            parts = [
+                x[:, i::2, j::2, k::2, :]
+                for k in (0, 1)
+                for j in (0, 1)
+                for i in (0, 1)
+            ]
+            y = jnp.concatenate(parts, axis=-1)
+        else:
+            # One space-to-depth transpose.  Flattening minor dims
+            # (k, j, i, c) row-major gives channel block k*4 + j*2 + i —
+            # exactly the reference concat order, so values are
+            # bit-identical and parameters keep the reference layout.
+            # The backward is the inverse transpose instead of 8
+            # serialized scatter-adds: train step 125.6 -> 120.6 ms,
+            # eval forward 26.8 -> 26.3 ms/scene (same-session A/B,
+            # benchmarks/microbench_merge.py).
+            nx, ny, nz = x.shape[1] // 2, x.shape[2] // 2, x.shape[3] // 2
+            x8 = x.reshape(b, nx, 2, ny, 2, nz, 2, c)
+            x8 = x8.transpose(0, 1, 3, 5, 6, 4, 2, 7)
+            y = x8.reshape(b, nx, ny, nz, 8 * c)
         y = nn.LayerNorm(epsilon=1e-5, dtype=self.dtype, name="norm")(y)
         out = self.dim * 2 if self.expand else self.dim
         return nn.Dense(out, use_bias=False, dtype=self.dtype, name="reduction")(y)

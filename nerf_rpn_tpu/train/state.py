@@ -8,12 +8,56 @@ OneCycleLR's cosine shape and default div factors (25 / 1e4, pct_start 0.3).
 
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, NamedTuple
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax import struct
 from flax.core import FrozenDict
+
+
+class GradNormClipState(NamedTuple):
+    """State of :func:`clip_by_global_norm_recorded` — carries the
+    pre-clip gradient norm so the train step's ``grad_norm`` metric reads
+    it instead of re-reducing every gradient tensor (a full extra pass
+    over ~200 MB of f32 grads per step at swin_s scale)."""
+
+    grad_norm: jax.Array
+
+
+def clip_by_global_norm_recorded(max_norm: float) -> optax.GradientTransformation:
+    """``optax.clip_by_global_norm`` with the computed norm kept in state.
+
+    The update arithmetic mirrors optax exactly (``jnp.where(norm < max,
+    t, (t / norm) * max)``), so swapping this in is bit-neutral."""
+
+    def init_fn(params):
+        del params
+        return GradNormClipState(jnp.zeros((), jnp.float32))
+
+    def update_fn(updates, state, params=None):
+        del params
+        g_norm = optax.global_norm(updates)
+        trigger = g_norm < max_norm
+        updates = jax.tree.map(
+            lambda t: jnp.where(trigger, t, (t / g_norm.astype(t.dtype))
+                                * max_norm),
+            updates,
+        )
+        return updates, GradNormClipState(g_norm.astype(jnp.float32))
+
+    return optax.GradientTransformation(init_fn, update_fn)
+
+
+def recorded_grad_norm(opt_state) -> jax.Array | None:
+    """The pre-clip grad norm recorded by the last update, or ``None`` if
+    the optimizer has no recording clip (works through ``multi_transform``
+    wrappers — the state is found by pytree search)."""
+    leaves = jax.tree.leaves(
+        opt_state, is_leaf=lambda n: isinstance(n, GradNormClipState))
+    norms = [l.grad_norm for l in leaves if isinstance(l, GradNormClipState)]
+    return norms[0] if norms else None
 
 
 @struct.dataclass
@@ -55,7 +99,7 @@ def make_optimizer(
         final_div_factor=1e4,
     )
     tx = optax.chain(
-        optax.clip_by_global_norm(clip_grad_norm),
+        clip_by_global_norm_recorded(clip_grad_norm),
         optax.adamw(schedule, weight_decay=weight_decay),
     )
     return tx, schedule

@@ -15,6 +15,8 @@ import jax
 import jax.numpy as jnp
 import optax
 
+from nerf_rpn_tpu.train.state import recorded_grad_norm
+
 from nerf_rpn_tpu.models import rpn as rpn_lib
 from nerf_rpn_tpu.models import fcos as fcos_lib
 from nerf_rpn_tpu.models.rpn import RPNConfig
@@ -143,9 +145,14 @@ def make_rpn_train_step(model, cfg: RPNConfig, mesh_shape, strides=(4, 8, 16, 32
         state = state.apply_gradients(grads, new_batch_stats=new_bs)
         # the SPMD analogue of the reference's wandb.watch gradient logging
         # (run_rpn.py:238-239): global gradient/parameter norms, computed
-        # in-graph (per-parameter histograms would force a full device fetch)
+        # in-graph (per-parameter histograms would force a full device
+        # fetch).  grad_norm reuses the clip transform's own reduction
+        # (train/state.py) instead of a second full pass over the grads.
+        gnorm = recorded_grad_norm(state.opt_state)
+        if gnorm is None:
+            gnorm = optax.global_norm(grads)
         metrics = {"loss": total, **losses,
-                   "grad_norm": optax.global_norm(grads),
+                   "grad_norm": gnorm,
                    "param_norm": optax.global_norm(state.params)}
         return state, metrics
 
@@ -285,8 +292,11 @@ def make_fcos_train_step(model, cfg: FCOSConfig, mesh_shape):
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        gnorm = recorded_grad_norm(state.opt_state)
+        if gnorm is None:
+            gnorm = optax.global_norm(grads)
         return state, {"loss": total, **losses,
-                       "grad_norm": optax.global_norm(grads),
+                       "grad_norm": gnorm,
                        "param_norm": optax.global_norm(state.params)}
 
     return train_step, counts
@@ -365,8 +375,11 @@ def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
             loss_fn, has_aux=True
         )(state.params)
         state = state.apply_gradients(grads, new_batch_stats=new_bs)
+        gnorm = recorded_grad_norm(state.opt_state)
+        if gnorm is None:
+            gnorm = optax.global_norm(grads)
         return state, {"loss": total, **losses,
-                       "grad_norm": optax.global_norm(grads),
+                       "grad_norm": gnorm,
                        "param_norm": optax.global_norm(state.params)}
 
     return train_step

@@ -345,3 +345,44 @@ def test_stem_conv_unfold_matches_plain(rng):
         assert y.shape == ref.shape
         np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
                                    rtol=2e-5, atol=2e-5)
+
+
+def test_recorded_grad_norm_matches_global_norm():
+    """clip_by_global_norm_recorded is bit-neutral vs optax's clip and
+    records the pre-clip norm (reused by the train steps' grad_norm
+    metric instead of a second full reduction over the grads)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from nerf_rpn_tpu.train.state import (
+        clip_by_global_norm_recorded,
+        recorded_grad_norm,
+    )
+
+    grads = {
+        "a": jnp.asarray([[3.0, -4.0], [1.0, 2.0]]),
+        "b": jnp.asarray([10.0, -7.0]),
+    }
+    params = jax.tree.map(jnp.zeros_like, grads)
+    for max_norm in (0.1, 1e6):  # triggered and untriggered branches
+        ours = clip_by_global_norm_recorded(max_norm)
+        ref = optax.clip_by_global_norm(max_norm)
+        ou, os_ = ours.update(grads, ours.init(params), params)
+        ru, _ = ref.update(grads, ref.init(params), params)
+        for k in grads:
+            assert (ou[k] == ru[k]).all(), (max_norm, k)
+        import numpy as np
+
+        np.testing.assert_allclose(
+            recorded_grad_norm(os_), optax.global_norm(grads), rtol=1e-6)
+    # multi_transform nesting still findable
+    tx = optax.multi_transform(
+        {"t": optax.chain(clip_by_global_norm_recorded(0.1),
+                          optax.adamw(1e-3)),
+         "f": optax.set_to_zero()},
+        {"a": "t", "b": "f"},
+    )
+    st = tx.init(params)
+    _, st = tx.update(grads, st, params)
+    assert recorded_grad_norm(st) is not None
