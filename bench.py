@@ -156,6 +156,28 @@ def bench_rpn(backbone, shape, metric, reps, mfu=False, batch=1,
                  device_kind=jax.devices()[0].device_kind)
 
 
+def _train_batch(shape, batch, box_dim=7, n_gt=16, seed=0):
+    """Synthetic train batch at the train.sh shapes (OBB gt when
+    box_dim=7)."""
+    rng = np.random.default_rng(seed)
+    ctr = rng.uniform(20, 140, (batch, n_gt, 3))
+    size = rng.uniform(8, 40, (batch, n_gt, 3))
+    parts = [ctr, size]
+    if box_dim == 7:
+        parts.append(rng.uniform(-np.pi / 2, np.pi / 2, (batch, n_gt, 1)))
+    else:
+        parts = [ctr - size / 2, ctr + size / 2]
+    return {
+        "grids": jnp.asarray(
+            rng.uniform(0, 1, (batch, *shape, 4)).astype(np.float32)
+        ).astype(jnp.bfloat16),
+        "ori_sizes": jnp.full((batch, 3), max(shape), jnp.int32),
+        "gt_boxes": jnp.asarray(
+            np.concatenate(parts, -1).astype(np.float32)),
+        "gt_mask": jnp.ones((batch, n_gt), bool),
+    }
+
+
 def bench_rpn_train(reps=10, batch=2):
     """Training-step throughput, the reference's dominant workload
     (``train.sh:8-27``: 200 epochs, Swin backbone, --rotated_bbox, batch
@@ -221,6 +243,127 @@ def bench_rpn_train(reps=10, batch=2):
          round(batch / step_s, 4), "scenes/sec/chip", **extra)
 
 
+def _emit_train_metric(name, train_step, state, batch_d, step_s, batch):
+    extra = {"step_ms": round(step_s * 1e3, 2), "batch": batch}
+    try:
+        ca = train_step.lower(state, batch_d, jax.random.PRNGKey(0)).compile(
+        ).cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+        peak = PEAK_FLOPS.get(jax.devices()[0].device_kind)
+        if flops and peak:
+            extra["train_mfu_pct"] = round(flops / step_s / peak * 100, 2)
+            extra["step_tflops"] = round(flops / 1e12, 3)
+    except Exception:
+        pass
+    emit(name, round(batch / step_s, 4), "scenes/sec/chip", **extra)
+
+
+def bench_fcos_train(reps=8, batch=2):
+    """FCOS training-step throughput (``train_fcos.sh:8-31``: swin_s,
+    --rotated_bbox, 160^3, batch 8 over 4 GPUs = 2/chip).  Same chained
+    protocol as bench_rpn_train."""
+    from nerf_rpn_tpu.models.fcos import FCOSConfig
+    from nerf_rpn_tpu.models.nerf_rpn import FCOSOverNeRF
+    from nerf_rpn_tpu.train.steps import make_fcos_train_step
+
+    shape = SHAPE_FCOS
+    batch_d = _train_batch(shape, batch, box_dim=7)
+    model = FCOSOverNeRF(backbone_type="swin_s", resolution=max(shape),
+                         rotated=True, dtype=jnp.bfloat16)
+    cfg = FCOSConfig(rotated=True)
+    state = random_state(model, batch_d["grids"][:1, :32, :32, :32],
+                         with_opt=True)
+    train_step, _ = make_fcos_train_step(model, cfg, shape)
+    key = jax.random.PRNGKey(0)
+
+    def run(state, reps):
+        loss = None
+        for i in range(reps):
+            state, metrics = train_step(state, batch_d,
+                                        jax.random.fold_in(key, i))
+            loss = metrics["loss"]
+        float(loss)
+        return state
+
+    state = run(state, WARMUP)
+    state = run(state, 4)
+    t0 = time.perf_counter()
+    state = run(state, reps)
+    step_s = (time.perf_counter() - t0) / reps
+    _emit_train_metric("swin_s_obb_fcos_train_step_throughput",
+                       train_step, state, batch_d, step_s, batch)
+
+
+def bench_rcnn_train(reps=8, batch=2, rois=1024):
+    """RCNN second-stage fine-tune training step (``train_rcnn.sh:7-38``:
+    swin backbone fine-tune, --rotated_bbox, cls_batch_size 256, batch 2,
+    output_size 3^3, is_flatten; bench shape 160^3 to share the size class
+    of the other train benches)."""
+    from nerf_rpn_tpu.models.detector import RCNNConfig, RCNNHead
+    from nerf_rpn_tpu.models.nerf_rpn import build_backbone
+    from nerf_rpn_tpu.train.steps import make_rcnn_train_step
+    from nerf_rpn_tpu.train.state import TrainState, make_optimizer
+    from flax.core import FrozenDict
+
+    shape = SHAPE_FCOS
+    rng = np.random.default_rng(1)
+    batch_d = _train_batch(shape, batch, box_dim=7)
+    ctr = rng.uniform(20, 140, (batch, rois, 3))
+    size = rng.uniform(6, 40, (batch, rois, 3))
+    theta = rng.uniform(-np.pi / 2, np.pi / 2, (batch, rois, 1))
+    batch_d["rois"] = jnp.asarray(
+        np.concatenate([ctr, size, theta], -1).astype(np.float32))
+    batch_d["roi_levels"] = jnp.asarray(
+        rng.integers(0, 4, (batch, rois)).astype(np.int32))
+    batch_d["roi_valid"] = jnp.ones((batch, rois), bool)
+
+    cfg = RCNNConfig(rotated=True, batch_size=256, fg_threshold=0.25,
+                     bg_threshold=0.25, output_size=(3, 3, 3))
+    head = RCNNHead(in_channels=256, n_classes=2, rotated=True,
+                    add_conv_layers=True, flatten=True, dtype=jnp.bfloat16)
+    backbone = build_backbone("swin_s", max(shape), dtype=jnp.bfloat16)
+
+    # params: backbone + head under the driver's {"backbone", "head"} split
+    shapes_bb = jax.eval_shape(
+        lambda: backbone.init(jax.random.PRNGKey(0),
+                              batch_d["grids"][:1, :32, :32, :32]))
+    pooled = jnp.zeros((1, 3, 3, 3, 256), jnp.bfloat16)
+    shapes_h = jax.eval_shape(
+        lambda: head.init(jax.random.PRNGKey(0), pooled))
+    rng2 = np.random.default_rng(0)
+    mk = lambda tree: jax.tree.map(
+        lambda s: jnp.asarray(rng2.normal(0, 0.02, s.shape), s.dtype), tree)
+    params = {"backbone": mk(shapes_bb)["params"],
+              "head": mk(shapes_h)["params"]}
+    tx, _ = make_optimizer(1e-4, 1000)
+    state = TrainState(step=jnp.zeros((), jnp.int32), params=params,
+                       batch_stats=FrozenDict(),
+                       opt_state=jax.jit(tx.init)(params), tx=tx)
+    train_step = make_rcnn_train_step(
+        head, cfg, (4, 8, 16, 32), rois_per_image=128, backbone=backbone,
+        reg_loss_weight=5.0)
+    key = jax.random.PRNGKey(0)
+
+    def run(state, reps):
+        loss = None
+        for i in range(reps):
+            state, metrics = train_step(state, batch_d,
+                                        jax.random.fold_in(key, i))
+            loss = metrics["loss"]
+        float(loss)
+        return state
+
+    state = run(state, WARMUP)
+    state = run(state, 4)
+    t0 = time.perf_counter()
+    state = run(state, reps)
+    step_s = (time.perf_counter() - t0) / reps
+    _emit_train_metric("swin_s_obb_rcnn_finetune_train_step_throughput",
+                       train_step, state, batch_d, step_s, batch)
+
+
 def bench_fcos_rotated(reps):
     from nerf_rpn_tpu.models.fcos import FCOSConfig
     from nerf_rpn_tpu.models.nerf_rpn import FCOSOverNeRF
@@ -260,6 +403,8 @@ def main():
     bench_rpn("vgg_EF", SHAPE_RPN,
               "vgg19_EF_anchor_rpn_full_inference_throughput", reps=10)
     bench_rpn_train(reps=8)
+    bench_fcos_train(reps=6)
+    bench_rcnn_train(reps=6)
     bench_fcos_rotated(reps=10)
     # serving throughput: 4 scenes per dispatch amortises the latency-bound
     # segments (the reference model also takes a list of scenes)
