@@ -24,6 +24,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from nerf_rpn_tpu.models.fpn import upsample_nearest
+from nerf_rpn_tpu.ops.pooling import stem_pool
 
 
 class StemConv3D(nn.Module):
@@ -59,13 +60,22 @@ class StemConv3D(nn.Module):
                 window_strides=(2, 2, 2), padding=((3, 3),) * 3,
                 dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
         else:
+            # Build the (B, X, Y, Z/2, 8C) unfold from a FREE z-pair
+            # regroup + 4 unit-stride z-shifted slices, instead of 8
+            # stride-2 sub-lane slices: block j holds taps (2j, 2j+1), so
+            # (j, parity, c) lexicographic == taps-major (t, c) and the
+            # same reshaped kernel applies.  6.61 -> 6.34 ms at the vgg
+            # stem shape (benchmarks/microbench_stem.py; the pair-regroup
+            # conv with no materialisation at all re-tanks the MXU at
+            # 2C=8 lanes: 7.72 ms).
             zout = sz // 2
-            xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (3, 4), (0, 0)))
-            taps = [
-                jax.lax.slice_in_dim(xp, t, t + 2 * zout, stride=2, axis=3)
-                for t in range(8)
+            xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (3, 3), (0, 0)))
+            xq = xp.reshape(b, sx, sy, (sz + 6) // 2, 2 * c)
+            parts = [
+                jax.lax.slice_in_dim(xq, j, j + zout, axis=3)
+                for j in range(4)
             ]
-            x_aug = jnp.concatenate(taps, axis=-1)      # (B, X, Y, Z/2, 8C)
+            x_aug = jnp.concatenate(parts, axis=-1)     # (B, X, Y, Z/2, 8C)
             k8 = jnp.pad(kernel, ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
             k8 = k8.reshape(7, 7, 1, 8 * c, self.features)  # taps-major
             y = jax.lax.conv_general_dilated(
@@ -141,7 +151,7 @@ class ResNetFPN256(nn.Module):
                        name="stem_conv")(x)
         y = nn.relu(bn(y))
         if self.is_max_pool:
-            y = nn.max_pool(y, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)))
+            y = stem_pool(y)
 
         # bottom-up stages
         c_out = []
@@ -244,7 +254,7 @@ class ResNetSimplified(nn.Module):
                     dtype=self.dtype, name="stem_conv")(x)
         y = nn.relu(bn("stem_bn")(y))
         if self.stride2_stem:
-            y = nn.max_pool(y, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)))
+            y = stem_pool(y)
         for i in range(self.num_residuals):
             r = nn.Conv(self.out_channels, (3, 3, 3), padding=1,
                         dtype=self.dtype, name=f"res{i}_conv1")(y)

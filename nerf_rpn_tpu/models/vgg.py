@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from nerf_rpn_tpu.models.fpn import FPN
+from nerf_rpn_tpu.ops.pooling import stem_pool
 
 VGG_CFGS: dict[str, tuple] = {
     "AF": (64, 128, "F", 256, 256, "M", "F", 512, 512, "M", "F", 512, 512, "M", "F"),
@@ -30,16 +31,27 @@ VGG_CFGS: dict[str, tuple] = {
 
 def _ceil_max_pool(x: jax.Array) -> jax.Array:
     """2x max-pool with ceil semantics (pad odd dims with -inf on the high
-    side), matching torch ``MaxPool3d(2, 2, ceil_mode=True)``."""
-    pads = [(0, s % 2) for s in x.shape[1:4]]
-    if any(p[1] for p in pads):
-        x = jnp.pad(
-            x,
-            [(0, 0)] + pads + [(0, 0)],
-            mode="constant",
-            constant_values=-jnp.inf,
-        )
-    return nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+    side), matching torch ``MaxPool3d(2, 2, ceil_mode=True)``.
+
+    Default path: reduce_window — the regrouped elementwise form
+    (``ops/pooling.py``, behind NERF_RPN_TPU_POOL2_REGROUP=1) measured
+    WORSE at vgg_EF graph scale (23.5 -> 22.9 scenes/s r4 A/B) even though
+    the same trick wins on the 3^3 stem pool; keep the knob for re-tests."""
+    import os
+
+    if os.environ.get("NERF_RPN_TPU_POOL2_REGROUP", "0") == "0":
+        pads = [(0, s % 2) for s in x.shape[1:4]]
+        if any(p[1] for p in pads):
+            x = jnp.pad(
+                x,
+                [(0, 0)] + pads + [(0, 0)],
+                mode="constant",
+                constant_values=-jnp.inf,
+            )
+        return nn.max_pool(x, (2, 2, 2), strides=(2, 2, 2))
+    from nerf_rpn_tpu.ops.pooling import max_pool_2x2x2
+
+    return max_pool_2x2x2(x, ceil_mode=True)
 
 
 class VGGFPN(nn.Module):
@@ -92,7 +104,7 @@ class VGGFPN(nn.Module):
                     name="stem_bn",
                 )(y)
             y = nn.relu(y)
-            y = nn.max_pool(y, (3, 3, 3), strides=(2, 2, 2), padding=((1, 1), (1, 1), (1, 1)))
+            y = stem_pool(y)
         else:
             y = cbr(x, 64, "stem", kernel=7)
 
