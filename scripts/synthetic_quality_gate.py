@@ -42,6 +42,22 @@ GATES = {
 }
 RCNN_ACCURACY_GATE = 0.9
 
+# AP@0.5 gates (VERDICT r3 #2): localization quality, not just detection.
+# The r3 README table recorded anchor AP@50 at 0.52/0.40 from a stale
+# mid-r3 run; re-measured on current code (2026-08-19) the 60-epoch runs
+# reach rpn_aabb 1.00 (every eval-time NMS/score/top-k sweep also 1.00 —
+# /tmp-archived diag, see README), so the anchor path localizes fine and
+# the gap was a stale measurement.  Thresholds sit a margin below the
+# measured values so seed jitter does not flake the gate while real
+# localization regressions (coder/NMS/matcher bugs) still trip it.
+GATES_AP50 = {
+    "rpn_aabb": 0.8,
+    "rpn_obb": 0.5,
+    "fcos_aabb": 0.8,
+    "fcos_obb": 0.8,
+    "rcnn": 0.8,
+}
+
 
 def _common_data_args(data_dir):
     return [
@@ -240,13 +256,15 @@ def main(argv=None):
         ap25, ap50, aux, _, curve = run_combo(
             combo, work_dir, num_epochs=args.num_epochs, seed=args.seed)
         gate = GATES[combo]
-        ok = ap25 >= gate
+        gate50 = GATES_AP50[combo]
+        ok = ap25 >= gate and ap50 >= gate50
         aux_key = "cls_accuracy" if combo == "rcnn" else "recall25"
         if combo == "rcnn":
             ok = ok and aux >= RCNN_ACCURACY_GATE
         summary[combo] = {
             "combo": combo, "ap25": round(ap25, 4), "ap50": round(ap50, 4),
-            aux_key: round(aux, 4), "gate_ap25": gate, "pass": ok,
+            aux_key: round(aux, 4), "gate_ap25": gate, "gate_ap50": gate50,
+            "pass": ok,
             "val_recall50_curve": [round(v, 3) for v in curve],
             "minutes": round((time.time() - t0) / 60, 1),
         }

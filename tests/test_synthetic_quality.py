@@ -104,7 +104,8 @@ def test_write_synthetic_rois_contract(tmp_path):
 
 
 def _run_gate(combo, tmp_path, num_epochs):
-    from scripts.synthetic_quality_gate import GATES, run_combo
+    from scripts.synthetic_quality_gate import (
+        GATES, GATES_AP50, run_combo)
 
     ap25, ap50, r25, _, curve = run_combo(combo, str(tmp_path),
                                           num_epochs=num_epochs)
@@ -112,21 +113,27 @@ def _run_gate(combo, tmp_path, num_epochs):
           f"val_recall50_curve={[round(v, 2) for v in curve]}")
     assert ap25 >= GATES[combo], (
         f"{combo} trained to AP@0.25={ap25:.4f} < gate {GATES[combo]}")
+    # AP@50 saturates LATER than AP@25 (the r3 'anchor AP@50 weakness' was
+    # an undertrained 30-epoch run); assert it only at the full schedule.
+    if num_epochs >= 60:
+        assert ap50 >= GATES_AP50[combo], (
+            f"{combo} trained to AP@0.50={ap50:.4f} < gate "
+            f"{GATES_AP50[combo]}")
 
 
 @gate
 def test_quality_rpn_aabb(tmp_path):
-    _run_gate("rpn_aabb", tmp_path, num_epochs=30)
+    _run_gate("rpn_aabb", tmp_path, num_epochs=60)
 
 
 @gate
 def test_quality_rpn_obb(tmp_path):
-    _run_gate("rpn_obb", tmp_path, num_epochs=50)
+    _run_gate("rpn_obb", tmp_path, num_epochs=60)
 
 
 @gate
 def test_quality_fcos_aabb(tmp_path):
-    _run_gate("fcos_aabb", tmp_path, num_epochs=40)
+    _run_gate("fcos_aabb", tmp_path, num_epochs=60)
 
 
 @gate
