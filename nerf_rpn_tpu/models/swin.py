@@ -215,6 +215,14 @@ class ShiftedWindowAttention3D(nn.Module):
             and c % self.num_heads == 0
             and n % 8 == 0
         )
+        use_flash_train = (
+            train
+            and _flash_train_min() > 0
+            and jax.default_backend() == "tpu"
+            and total_windows >= _flash_train_min()
+            and c % self.num_heads == 0
+            and n % 8 == 0
+        )
         if use_fused:
             from nerf_rpn_tpu.ops.window_attention import (
                 fused_qkv_window_attention,
@@ -225,6 +233,17 @@ class ShiftedWindowAttention3D(nn.Module):
                 fmask = jnp.tile(
                     jnp.asarray(mask, self.dtype), (b, 1, 1))
             y = fused_qkv_window_attention(
+                qkv, bias.astype(jnp.float32), fmask, self.num_heads)
+        elif use_flash_train:
+            from nerf_rpn_tpu.ops.window_attention import (
+                flash_window_attention,
+            )
+
+            fmask = None
+            if mask is not None:
+                fmask = jnp.tile(
+                    jnp.asarray(mask, self.dtype), (b, 1, 1))
+            y = flash_window_attention(
                 qkv, bias.astype(jnp.float32), fmask, self.num_heads)
         else:
             import os as _os
@@ -270,6 +289,24 @@ class ShiftedWindowAttention3D(nn.Module):
         if sum(shift):
             y = jnp.roll(y, shift, axis=(1, 2, 3))
         return y[:, :sx, :sy, :sz]
+
+
+def _flash_train_min() -> int:
+    """NERF_RPN_TPU_FLASH_TRAIN_ATTN=<min_windows> (0 disables) routes
+    TRAIN-path attention for blocks with at least that many windows
+    through the custom-VJP flash kernel
+    (ops/window_attention.flash_window_attention) — the fwd keeps logits
+    in VMEM and the bwd recomputes the softmax there, replacing ~8 ms of
+    qkv-split copies / logit materialisations / tiny-MXU matmuls in the
+    r4 train trace.  Default ON at 128 (stages 0-1 at the train.sh
+    shapes): measured end-to-end WIN on the full train step — 122.05/
+    122.46 -> 115.17 ms/step (min=128; min=256 gives 115.75) with no
+    sign of the conv-layout poisoning that sank the EVAL-path kernel
+    (see ShiftedWindowAttention3D docstring; same-session A/B,
+    benchmarks/README.md r4 rows)."""
+    import os
+
+    return int(os.environ.get("NERF_RPN_TPU_FLASH_TRAIN_ATTN", "128"))
 
 
 def _mlp_barrier() -> bool:

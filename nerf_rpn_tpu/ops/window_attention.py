@@ -264,3 +264,180 @@ def fused_window_attention(
         interpret=interpret,
     )(pattern_ids.astype(jnp.int32), q, k, v, bias, mask_table)
     return out[:w]
+
+
+# ---------------------------------------------------------------------------
+# v3: trainable flash window attention (custom VJP)
+# ---------------------------------------------------------------------------
+#
+# The r4 train-step trace (benchmarks/README.md) shows the stage-0
+# attention fwd+bwd region — qkv head-split copies, (W, H, N, N) logit
+# materialisations, tiny-MXU batched matmuls and their backward mirrors —
+# costing ~8 ms of the 115 ms step against a ~2 ms bandwidth floor
+# (W=2000, N=64, H=3, D=32 at the train.sh 160^3 / batch-2 shapes).  XLA
+# cannot avoid materialising the logits through the fwd/bwd seam; a
+# custom-VJP kernel pair can: the forward reuses the v2 flash layout
+# (logits live only in VMEM), and the backward RECOMPUTES the softmax
+# probabilities from qkv in VMEM (N=64 makes recompute ~free) instead of
+# reading stored probabilities from HBM.
+#
+# dbias (the relative-position-bias gradient, flowing back to the bias
+# table) is accumulated across grid steps into a revisited (H, N, N) f32
+# output block.  The shift mask is additive and constant (built from
+# window geometry, not parameters), so its cotangent is zeros.
+#
+# Reference semantics for parity: the torch reference computes this as
+# separate ops (model/feature_extractor.py WindowAttention3D: qkv Linear
+# -> per-head softmax(qk^T*scale + bias [+ mask]) v); this kernel is a
+# TPU execution detail with identical numerics fwd AND bwd (tests grad-
+# check against the jnp path).
+
+
+def _flash_bwd_kernel(qkv_ref, dout_ref, bias_ref, dqkv_ref, dbias_ref,
+                      *, scale, num_heads, mask_ref=None):
+    g, n, c3 = qkv_ref.shape
+    c = c3 // 3
+    d = c // num_heads
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dbias_ref[:] = jnp.zeros_like(dbias_ref)
+
+    mask = None
+    if mask_ref is not None:
+        mask = mask_ref[:].astype(jnp.float32)          # (G, N, N)
+
+    dparts_q, dparts_k, dparts_v = [], [], []
+    dbias_new = []
+    for h in range(num_heads):
+        q = qkv_ref[:, :, h * d:(h + 1) * d]
+        k = qkv_ref[:, :, c + h * d:c + (h + 1) * d]
+        v = qkv_ref[:, :, 2 * c + h * d:2 * c + (h + 1) * d]
+        dout = dout_ref[:, :, h * d:(h + 1) * d]
+        qs = q * q.dtype.type(scale)
+        s = jax.lax.dot_general(
+            qs, k, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (G, N, N)
+        s = s + bias_ref[h].astype(jnp.float32)[None]
+        if mask is not None:
+            s = s + mask
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)       # f32 (G, N, N)
+        pb = p.astype(v.dtype)
+        # dv[m] = sum_n p[n, m] dout[n]
+        dparts_v.append(jax.lax.dot_general(
+            pb, dout, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype))
+        # dp[n, m] = dout[n] . v[m]
+        dp = jax.lax.dot_general(
+            dout, v, dimension_numbers=(((2,), (2,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32)          # (G, N, N)
+        ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+        dsb = ds.astype(v.dtype)
+        # dq[n] = scale * sum_m ds[n, m] k[m]
+        dq = jax.lax.dot_general(
+            dsb, k, dimension_numbers=(((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32) * scale
+        dparts_q.append(dq.astype(dqkv_ref.dtype))
+        # dk[m] = sum_n ds[n, m] (scale * q[n]) = ds^T @ qs
+        dparts_k.append(jax.lax.dot_general(
+            dsb, qs, dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32).astype(dqkv_ref.dtype))
+        dbias_new.append(jnp.sum(ds, axis=0)[None])      # (1, N, N) f32
+    dqkv_ref[:] = jnp.concatenate(dparts_q + dparts_k + dparts_v, axis=-1)
+    dbias_ref[:] += jnp.concatenate(dbias_new, axis=0).astype(
+        dbias_ref.dtype)
+
+
+def _flash_fwd_call(qkv, bias, mask, num_heads, group, interpret):
+    return fused_qkv_window_attention(
+        qkv, bias, mask, num_heads, group=group, interpret=interpret)
+
+
+def _flash_bwd_call(qkv, dout, bias, mask, num_heads, group, interpret):
+    w, n, c3 = qkv.shape
+    c = c3 // 3
+    scale = (c // num_heads) ** -0.5
+    pad = (-w) % group
+    if pad:
+        qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
+        dout = jnp.pad(dout, ((0, pad), (0, 0), (0, 0)))
+        if mask is not None:
+            mask = jnp.pad(mask, ((0, pad), (0, 0), (0, 0)))
+    wp = w + pad
+    grid = (wp // group,)
+
+    in_specs = [
+        pl.BlockSpec((group, n, c3), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((group, n, c), lambda t: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((num_heads, n, n), lambda t: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qkv, dout, bias]
+    kernel = partial(_flash_bwd_kernel, scale=scale, num_heads=num_heads)
+    if mask is not None:
+        in_specs.append(pl.BlockSpec((group, n, n), lambda t: (t, 0, 0),
+                                     memory_space=pltpu.VMEM))
+        args.append(mask)
+
+        def kernel(qkv_ref, dout_ref, bias_ref, mask_ref, dqkv_ref,  # noqa
+                   dbias_ref):
+            _flash_bwd_kernel(qkv_ref, dout_ref, bias_ref, dqkv_ref,
+                              dbias_ref, scale=scale, num_heads=num_heads,
+                              mask_ref=mask_ref)
+
+    dqkv, dbias = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((group, n, c3), lambda t: (t, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((num_heads, n, n), lambda t: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((wp, n, c3), qkv.dtype),
+            jax.ShapeDtypeStruct((num_heads, n, n), jnp.float32),
+        ],
+        interpret=interpret,
+    )(*args)
+    return dqkv[:w], dbias
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def flash_window_attention(qkv, bias, mask, num_heads, group=16,
+                           interpret=False):
+    """Differentiable fused window attention: softmax(q k^T / sqrt(D)
+    + bias [+ mask]) v from the packed qkv Dense output.
+
+    qkv (W, N, 3C), bias (H, N, N) f32, mask (W, N, N) additive or None.
+    Returns (W, N, C).  The backward recomputes the softmax in VMEM
+    (flash style) and accumulates dbias across window groups; the mask is
+    treated as constant (zero cotangent).
+    """
+    return _flash_fwd_call(qkv, bias, mask, num_heads, group, interpret)
+
+
+def _flash_vjp_fwd(qkv, bias, mask, num_heads, group, interpret):
+    out = _flash_fwd_call(qkv, bias, mask, num_heads, group, interpret)
+    return out, (qkv, bias, mask)
+
+
+def _flash_vjp_bwd(num_heads, group, interpret, res, dout):
+    qkv, bias, mask = res
+    dqkv, dbias = _flash_bwd_call(qkv, dout, bias, mask, num_heads, group,
+                                  interpret)
+    dmask = None if mask is None else jnp.zeros_like(mask)
+    return dqkv, dbias.astype(bias.dtype), dmask
+
+
+flash_window_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+def flash_window_attention_reference(qkv, bias, mask, num_heads):
+    """jnp semantics twin (same math as the model's train path)."""
+    return fused_qkv_window_attention_reference(qkv, bias, mask, num_heads)
