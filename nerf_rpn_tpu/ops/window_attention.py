@@ -112,6 +112,21 @@ def _kernel_v2(qkv_ref, bias_ref, out_ref, *, scale, num_heads,
     out_ref[:] = jnp.concatenate(outs, axis=-1)
 
 
+def _pick_group(w: int, group: int) -> int:
+    """Largest group in [8, 32] that divides ``w`` exactly, else ``group``.
+
+    XLA lowers the pre-kernel pad to a full copy of the (W, N, 3C) tensor
+    (~0.9 ms x 4 pads in the batch-4 eval stages unit, r4 trace: W=6084
+    padded to 6096 at group=16 copies 224 MB per block).  The group is a
+    major (untiled) dim, so any size works — divisible beats padded."""
+    if w % group == 0 or w < 8:
+        return group
+    for g in range(min(32, w), 7, -1):
+        if w % g == 0:
+            return g
+    return group
+
+
 @partial(jax.jit,
          static_argnames=("num_heads", "group", "interpret"))
 def fused_qkv_window_attention(
@@ -126,12 +141,14 @@ def fused_qkv_window_attention(
 
     Returns (W, N, C) with heads concatenated in lane order — ready for the
     output projection.  Window count is padded to a multiple of ``group``
-    internally.
+    internally (a divisible group is auto-picked first — see
+    :func:`_pick_group`).
     """
     w, n, c3 = qkv.shape
     c = c3 // 3
     d = c // num_heads
     scale = d ** -0.5
+    group = _pick_group(w, group)
     pad = (-w) % group
     if pad:
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
@@ -359,6 +376,7 @@ def _flash_bwd_call(qkv, dout, bias, mask, num_heads, group, interpret):
     w, n, c3 = qkv.shape
     c = c3 // 3
     scale = (c // num_heads) ** -0.5
+    group = _pick_group(w, group)
     pad = (-w) % group
     if pad:
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))

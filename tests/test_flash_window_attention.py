@@ -66,10 +66,21 @@ def test_flash_grads_match_reference(with_mask):
                                rtol=2e-4, atol=2e-4)
 
 
+def test_pick_group_prefers_divisible():
+    from nerf_rpn_tpu.ops.window_attention import _pick_group
+
+    assert _pick_group(1521, 16) == 13   # batch-1 eval stages, 208^3
+    assert _pick_group(6084, 16) == 26   # batch-4 eval stages
+    assert _pick_group(2000, 16) == 16   # already divisible: keep
+    assert _pick_group(250, 16) == 25    # train stage-1
+    assert _pick_group(7, 4) == 4        # < 8 windows: fall back to pad
+
+
 def test_flash_grads_padded_window_count():
-    # W=10 with group=4 pads to 12: padded windows must not leak into
-    # dbias (their dout is zero) and dqkv must slice back to W
-    qkv, bias, mask = _setup(w=10, with_mask=False)
+    # W=7 with group=4 pads to 8 (no divisor in [8, 32]): padded windows
+    # must not leak into dbias (their dout is zero) and dqkv must slice
+    # back to W
+    qkv, bias, mask = _setup(w=7, with_mask=False)
 
     def loss(qkv, bias):
         return jnp.sum(flash_window_attention(qkv, bias, None, 2, 4, True))
