@@ -95,12 +95,37 @@ def main():
             padding=((3, 3), (3, 3), (0, 0)),
             dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
 
+    def s2dquad(x, k):
+        # x/y pair-regroup on TOP of the z quad-shift: the conv becomes
+        # (4, 4, 1) VALID over C_in = 2*2*8C = 128 — exactly the lane
+        # width (the 8C=32-lane conv runs at 33% MFU in the vgg_EF r4
+        # trace, plus a 1.65 ms build->conv relayout).  Channel order
+        # (jz, px, py, pz, c); kernel remapped to match.
+        b, sx, sy, sz, c = x.shape
+        zout = sz // 2
+        xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (3, 3), (0, 0)))
+        xq = xp.reshape(b, sx + 6, sy + 6, (sz + 6) // 2, 2 * c)
+        # x/y parity slices (major-axis stride-2 reads, contiguous writes)
+        qs = [xq[:, p::2, q::2] for p in (0, 1) for q in (0, 1)]
+        q32 = jnp.concatenate(qs, axis=-1)      # ch = (px, py, pz, c)
+        parts = [lax.slice_in_dim(q32, j, j + zout, axis=3)
+                 for j in range(4)]
+        x_aug = jnp.concatenate(parts, axis=-1)  # ch = (jz, px, py, pz, c)
+        k8 = jnp.pad(k, ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
+        k8 = k8.reshape(4, 2, 4, 2, 4, 2, c, F)  # (jx,px,jy,py,jz,pz,c,f)
+        k8 = k8.transpose(0, 2, 4, 1, 3, 5, 6, 7)
+        k8 = k8.reshape(4, 4, 1, 32 * c, F)
+        return lax.conv_general_dilated(
+            x_aug, k8, window_strides=(1, 1, 1),
+            padding="VALID",
+            dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+
     # correctness on a small f32 grid
     xs = jnp.asarray(rng.normal(0, 1, (1, 16, 16, 12, C)), jnp.float32)
     ks = jnp.asarray(np.asarray(kernel, np.float32))
     ref = np.asarray(plain(xs, ks))
     for name, fn in [("unfold8", unfold8), ("pairconv", pairconv),
-                     ("quadshift", quadshift)]:
+                     ("quadshift", quadshift), ("s2dquad", s2dquad)]:
         got = np.asarray(fn(xs, ks))
         err = np.abs(got - ref).max()
         print(f"correctness {name}: shape {got.shape} vs {ref.shape} "
@@ -130,7 +155,8 @@ def main():
 
     r = {}
     for name, fn in [("plain_c4", plain), ("unfold8", unfold8),
-                     ("pairconv", pairconv), ("quadshift", quadshift)]:
+                     ("pairconv", pairconv), ("quadshift", quadshift),
+                     ("s2dquad", s2dquad)]:
         r[name] = time_fn(name, fn)
     print({k: round(v, 3) for k, v in r.items()})
 

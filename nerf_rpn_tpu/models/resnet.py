@@ -54,10 +54,38 @@ class StemConv3D(nn.Module):
             "kernel", nn.initializers.lecun_normal(), (7, 7, 7, c, self.features))
         bias = (self.param("bias", nn.initializers.zeros, (self.features,))
                 if self.use_bias else None)
+        import os as _os
+
+        s2d = _os.environ.get("NERF_RPN_TPU_STEM_S2D", "1") != "0"
         if sz % 2:
             y = jax.lax.conv_general_dilated(
                 x.astype(self.dtype), kernel.astype(self.dtype),
                 window_strides=(2, 2, 2), padding=((3, 3),) * 3,
+                dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
+        elif s2d and sx % 2 == 0 and sy % 2 == 0:
+            # x/y pair-regroup on TOP of the z unfold: the conv becomes
+            # (4, 4, 1) VALID over C_in = 2*2*8C = 128 — the full lane
+            # width.  The 8C=32-lane form below runs at 33% MFU plus a
+            # 1.65 ms build->conv relayout in the vgg_EF r4 trace;
+            # exact same math (microbench_stem.py::s2dquad, bit-checked
+            # against the plain conv).  Channel order (jz, px, py, pz, c).
+            zout = sz // 2
+            xp = jnp.pad(x, ((0, 0), (3, 3), (3, 3), (3, 3), (0, 0)))
+            xq = xp.reshape(b, sx + 6, sy + 6, (sz + 6) // 2, 2 * c)
+            qs = [xq[:, p::2, q::2] for p in (0, 1) for q in (0, 1)]
+            q4 = jnp.concatenate(qs, axis=-1)    # ch = (px, py, pz, c)
+            parts = [
+                jax.lax.slice_in_dim(q4, j, j + zout, axis=3)
+                for j in range(4)
+            ]
+            x_aug = jnp.concatenate(parts, axis=-1)  # (jz, px, py, pz, c)
+            k8 = jnp.pad(kernel, ((0, 1), (0, 1), (0, 1), (0, 0), (0, 0)))
+            k8 = k8.reshape(4, 2, 4, 2, 4, 2, c, self.features)
+            k8 = k8.transpose(0, 2, 4, 1, 3, 5, 6, 7)
+            k8 = k8.reshape(4, 4, 1, 32 * c, self.features)
+            y = jax.lax.conv_general_dilated(
+                x_aug.astype(self.dtype), k8.astype(self.dtype),
+                window_strides=(1, 1, 1), padding="VALID",
                 dimension_numbers=("NXYZC", "XYZIO", "NXYZC"))
         else:
             # Build the (B, X, Y, Z/2, 8C) unfold from a FREE z-pair

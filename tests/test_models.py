@@ -329,8 +329,9 @@ def test_stem_conv_unfold_matches_plain(rng):
     went 45 -> 33 ms/scene)."""
     from nerf_rpn_tpu.models.resnet import StemConv3D
 
-    for shape, use_bias in [((1, 20, 18, 16, 4), False),
+    for shape, use_bias in [((1, 20, 18, 16, 4), False),  # x/y/z s2d path
                             ((1, 16, 16, 15, 4), True),   # odd z fallback
+                            ((1, 14, 9, 12, 4), True),    # odd y: quadshift
                             ((2, 8, 12, 10, 3), True)]:
         x = jnp.asarray(rng.normal(size=shape).astype(np.float32))
         stem = StemConv3D(8, use_bias=use_bias)
