@@ -194,6 +194,18 @@ class ShiftedWindowAttention3D(nn.Module):
 
         n = wx * wy * wz
         windows = _window_partition(x, self.window, staged=train)  # (B*nW, N, C)
+        import os as _os
+
+        if not train and _os.environ.get(
+                "NERF_RPN_TPU_QKV_BARRIER", "0") != "0":
+            # Experiment knob (measured NEUTRAL, default off): materialise
+            # the partition before the qkv matmul.  The FCOS-shape trace
+            # shows a partition+qkv fusion at 68 GB/s, but the barrier A/B
+            # moved nothing at either shape (fcos 32.8 vs 32.9/32.6,
+            # anchor 38.11 vs 38.21 scenes/s) — the fusion's trace reading
+            # double-counts occurrences and the region is already at its
+            # layout floor.
+            windows = jax.lax.optimization_barrier(windows)
         qkv = nn.Dense(3 * self.dim, dtype=self.dtype, name="qkv")(windows)
 
         table = self.param(
