@@ -8,6 +8,16 @@ collective (gradient psums, the FCOS num_pos normaliser, BatchNorm batch
 means) automatically over ICI.
 
 Scale-out knobs live here so models/training code never touch device lists.
+
+Two mesh axes:
+
+- ``data`` — scenes (the model's natural parallelism; the reference's DDP).
+- ``space`` — the scene's leading spatial (x) axis, for grids too large for
+  one chip's HBM (a 512^3 x 4 rgbsigma grid is 2 GB before activations).
+  Params stay replicated; GSPMD inserts halo exchanges for the conv
+  stencils and all-gathers where an op needs the full extent (the propose
+  stage's flattened top-k).  The step functions are unchanged — sharding
+  is decided entirely by how the batch is ``device_put``.
 """
 
 from __future__ import annotations
@@ -17,6 +27,7 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+SPACE_AXIS = "space"
 
 
 def make_mesh(devices=None) -> Mesh:
@@ -24,6 +35,28 @@ def make_mesh(devices=None) -> Mesh:
     if devices is None:
         devices = jax.devices()
     return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def make_mesh_2d(n_data: int, n_space: int, devices=None) -> Mesh:
+    """(data, space) mesh: scenes over ``data``, each scene's x axis over
+    ``space``.  ``n_space`` consecutive devices hold one scene, so the halo
+    exchanges of the conv stencils ride neighbour ICI links."""
+    if devices is None:
+        devices = jax.devices()
+    assert n_data * n_space <= len(devices), (
+        f"mesh {n_data}x{n_space} needs {n_data * n_space} devices, "
+        f"have {len(devices)}"
+    )
+    grid = np.asarray(devices[: n_data * n_space]).reshape(n_data, n_space)
+    return Mesh(grid, (DATA_AXIS, SPACE_AXIS))
+
+
+def grid_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard (B, X, Y, Z, C) grids: scenes over ``data`` and, when the mesh
+    has a ``space`` axis, the x extent over ``space``."""
+    if SPACE_AXIS in mesh.axis_names:
+        return NamedSharding(mesh, P(DATA_AXIS, SPACE_AXIS))
+    return NamedSharding(mesh, P(DATA_AXIS))
 
 
 def make_mesh_for_batch(batch_size: int, devices=None) -> Mesh:
@@ -49,14 +82,18 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put a host batch dict with the scene axis sharded.
 
-    Non-array entries (e.g. scene-name lists) are dropped — step functions
-    are jitted and only accept arrays; keep host metadata on the host.
+    On a (data, space) mesh the 5-D grid entries additionally shard their x
+    extent over ``space``; per-scene arrays (gt boxes, sizes) shard over
+    ``data`` only.  Non-array entries (e.g. scene-name lists) are dropped —
+    step functions are jitted and only accept arrays; keep host metadata on
+    the host.
     """
     sh = batch_sharding(mesh)
+    grid_sh = grid_sharding(mesh)
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape"):
-            out[k] = jax.device_put(v, sh)
+            out[k] = jax.device_put(v, grid_sh if v.ndim == 5 else sh)
         elif isinstance(v, (list, tuple)) and v and hasattr(v[0], "shape"):
             # per-level feature pyramids (stage 2): shard each level array
             out[k] = type(v)(jax.device_put(x, sh) for x in v)
