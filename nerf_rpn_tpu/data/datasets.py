@@ -482,7 +482,15 @@ def batch_iterator(
     order = np.arange(len(dataset))
     if shuffle:
         np.random.default_rng(seed).shuffle(order)
-    order = order[process_index::process_count]
+    if process_count > 1:
+        # DistributedSampler semantics (torch's sampler pads every rank to
+        # ceil(n/world) by wrapping the permutation): in a real multi-host
+        # run every process must execute the SAME number of jitted
+        # collective steps or the trailing psum deadlocks at epoch end.
+        total = -(-len(order) // process_count) * process_count
+        if total > len(order):
+            order = np.concatenate([order, order[: total - len(order)]])
+        order = order[process_index::process_count]
     pool = ThreadPoolExecutor(num_workers) if num_workers > 0 else None
     try:
         for start in range(0, len(order), batch_size):

@@ -231,6 +231,7 @@ class ShiftedWindowAttention3D(nn.Module):
             train
             and _flash_train_min() > 0
             and jax.default_backend() == "tpu"
+            and _flash_train_multichip_ok()
             and total_windows >= _flash_train_min()
             and c % self.num_heads == 0
             and n % 8 == 0
@@ -319,6 +320,26 @@ def _flash_train_min() -> int:
     import os
 
     return int(os.environ.get("NERF_RPN_TPU_FLASH_TRAIN_ATTN", "128"))
+
+
+def _flash_train_multichip_ok() -> bool:
+    """Gate the flash train kernel to single-device processes unless
+    explicitly overridden (NERF_RPN_TPU_FLASH_TRAIN_ATTN_MULTICHIP=1).
+
+    A ``pallas_call`` carries no GSPMD partitioning rule: under a >1-chip
+    data-parallel mesh the (W, N, 3C) qkv operand would be all-gathered /
+    replicated per chip (or fail to partition), silently defeating
+    scale-out.  The kernel's numerics and its end-to-end win are only
+    validated single-chip (this image has exactly one TPU), so on a
+    multi-device process the train path falls back to the XLA attention —
+    which partitions cleanly — until someone A/Bs the kernel under a real
+    sharded mesh (then flip the override, or wrap the call in shard_map
+    over the window axis)."""
+    import os
+
+    if os.environ.get("NERF_RPN_TPU_FLASH_TRAIN_ATTN_MULTICHIP", "0") != "0":
+        return True
+    return jax.device_count() == 1
 
 
 def _mlp_barrier() -> bool:

@@ -79,21 +79,36 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+# Batch keys that hold (B, X, Y, Z, C) voxel grids and therefore may shard
+# their x extent over a ``space`` mesh axis.  Keyed explicitly (not on
+# ndim == 5) so a future 5-D per-scene entry that is NOT a spatial grid
+# can't silently pick up a space sharding.
+GRID_KEYS = frozenset({"grids"})
+
+
 def shard_batch(mesh: Mesh, batch: dict) -> dict:
     """Device-put a host batch dict with the scene axis sharded.
 
-    On a (data, space) mesh the 5-D grid entries additionally shard their x
-    extent over ``space``; per-scene arrays (gt boxes, sizes) shard over
-    ``data`` only.  Non-array entries (e.g. scene-name lists) are dropped —
-    step functions are jitted and only accept arrays; keep host metadata on
-    the host.
+    On a (data, space) mesh the grid entries (``GRID_KEYS``) additionally
+    shard their x extent over ``space``; per-scene arrays (gt boxes, sizes)
+    shard over ``data`` only.  Non-array entries (e.g. scene-name lists)
+    are dropped — step functions are jitted and only accept arrays; keep
+    host metadata on the host.
     """
     sh = batch_sharding(mesh)
     grid_sh = grid_sharding(mesh)
+    n_space = mesh.shape.get(SPACE_AXIS, 1)
     out = {}
     for k, v in batch.items():
         if hasattr(v, "shape"):
-            out[k] = jax.device_put(v, grid_sh if v.ndim == 5 else sh)
+            is_grid = k in GRID_KEYS and v.ndim == 5
+            if is_grid and n_space > 1 and v.shape[1] % n_space != 0:
+                raise ValueError(
+                    f"grid batch entry {k!r} has x extent {v.shape[1]} not "
+                    f"divisible by the mesh space axis ({n_space}); pad the "
+                    f"grid (collate pad_multiple) to a multiple of it"
+                )
+            out[k] = jax.device_put(v, grid_sh if is_grid else sh)
         elif isinstance(v, (list, tuple)) and v and hasattr(v[0], "shape"):
             # per-level feature pyramids (stage 2): shard each level array
             out[k] = type(v)(jax.device_put(x, sh) for x in v)

@@ -265,22 +265,26 @@ def _iterate_names(dataset, process_index, process_count, seed, shuffle=True,
     return names
 
 
-def test_batch_iterator_process_sharding_disjoint_and_covering():
-    """Across process_index in 0..N-1 the per-process streams are pairwise
-    disjoint, together cover every scene exactly once, and are balanced to
-    within one sample (the DistributedSampler contract)."""
+def test_batch_iterator_process_sharding_equal_and_covering():
+    """Across process_index in 0..N-1 the per-process streams together cover
+    every scene, every rank yields EXACTLY the same number of samples (and
+    hence jitted steps — unequal step counts deadlock collectives at epoch
+    end), and the only duplicates are the ceil-padding wrap (torch
+    DistributedSampler semantics)."""
     rng = np.random.default_rng(0)
     n, world = 13, 4
     ds = _fake_dataset(n, rng)
     shards = [_iterate_names(ds, p, world, seed=3) for p in range(world)]
     all_names = [x for s in shards for x in s]
-    assert len(all_names) == n
+    # padded to ceil(13/4)*4 = 16: every scene present, 3 wrap duplicates
+    assert len(all_names) == 16
     assert set(all_names) == {f"scene{i}" for i in range(n)}
-    for a in range(world):
-        for b in range(a + 1, world):
-            assert not set(shards[a]) & set(shards[b]), (a, b)
-    sizes = sorted(len(s) for s in shards)
-    assert sizes[-1] - sizes[0] <= 1, sizes
+    sizes = [len(s) for s in shards]
+    assert sizes == [4, 4, 4, 4], sizes
+    from collections import Counter
+    counts = Counter(all_names)
+    assert sum(c - 1 for c in counts.values()) == 3
+    assert max(counts.values()) <= 2
 
 
 def test_batch_iterator_process_sharding_deterministic_per_epoch():
