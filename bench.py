@@ -296,11 +296,10 @@ def bench_fcos_train(reps=8, batch=2):
                        train_step, state, batch_d, step_s, batch)
 
 
-def bench_rcnn_train(reps=8, batch=2, rois=1024):
-    """RCNN second-stage fine-tune training step (``train_rcnn.sh:7-38``:
-    swin backbone fine-tune, --rotated_bbox, cls_batch_size 256, batch 2,
-    output_size 3^3, is_flatten; bench shape 160^3 to share the size class
-    of the other train benches)."""
+def rcnn_train_setup(batch=2, rois=1024):
+    """Build (train_step, state, batch_d, key) for the RCNN fine-tune train
+    bench/trace (shared by bench_rcnn_train and
+    benchmarks/trace_rcnn_train.py)."""
     from nerf_rpn_tpu.models.detector import RCNNConfig, RCNNHead
     from nerf_rpn_tpu.models.nerf_rpn import build_backbone
     from nerf_rpn_tpu.train.steps import make_rcnn_train_step
@@ -345,6 +344,15 @@ def bench_rcnn_train(reps=8, batch=2, rois=1024):
         head, cfg, (4, 8, 16, 32), rois_per_image=128, backbone=backbone,
         reg_loss_weight=5.0)
     key = jax.random.PRNGKey(0)
+    return train_step, state, batch_d, key
+
+
+def bench_rcnn_train(reps=8, batch=2, rois=1024):
+    """RCNN second-stage fine-tune training step (``train_rcnn.sh:7-38``:
+    swin backbone fine-tune, --rotated_bbox, cls_batch_size 256, batch 2,
+    output_size 3^3, is_flatten; bench shape 160^3 to share the size class
+    of the other train benches)."""
+    train_step, state, batch_d, key = rcnn_train_setup(batch, rois)
 
     def run(state, reps):
         loss = None

@@ -24,6 +24,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 def trilinear_gather(volume: jax.Array, pts: jax.Array) -> jax.Array:
@@ -136,12 +137,86 @@ def multilevel_roi_align(
     """RoI features from an FPN pyramid (fixed shapes).
 
     features: per-level (X_l, Y_l, Z_l, C); rois: (R, 6|7) in mesh coords;
-    levels: (R,) int; valid: (R,) bool.  Each RoI is pooled from every level
-    and the right one is selected — on TPU this trades a constant factor of
-    redundant gathers (cheap, batched) for zero dynamic shapes; invalid rois
-    produce zeros.  RoIs are enlarged by (1 + enlarge_scale) like reference
-    ``enlarge_roi`` (``detector.py:195-211``).
+    levels: (R,) int; valid: (R,) bool.  Invalid rois produce zeros.  RoIs
+    are enlarged by (1 + enlarge_scale) like reference ``enlarge_roi``
+    (``detector.py:195-211``).
+
+    TPU note: all levels are flattened into ONE (sum V_l, C) row buffer
+    (axis merges on the major axes are free) and each RoI gathers its 8
+    trilinear corners at its OWN level via a per-roi base offset + per-roi
+    strides.  TPU gathers/scatters serialize per row, so this is 4x fewer
+    rows than the earlier pool-from-every-level-and-select formulation —
+    the r5 trace of the RCNN fine-tune train step showed that version
+    spending 42 ms/step (of 108) in 32 gather + ~30 scatter fusions
+    (benchmarks/trace_rcnn_train.py); the math per selected level is
+    unchanged (same coords, corners and weights).
     """
+    c = features[0].shape[-1]
+    dims = np.asarray([f.shape[:3] for f in features], np.int32)  # (L, 3)
+    flat = jnp.concatenate([f.reshape(-1, c) for f in features], axis=0)
+    return _roi_align_flat(
+        flat, dims, rois, levels, valid, None, 1, spatial_scales,
+        output_size, sampling_ratio, mode, rotated, enlarge_scale)
+
+
+def multilevel_roi_align_batched(
+    features: list[jax.Array],
+    rois: jax.Array,
+    levels: jax.Array,
+    valid: jax.Array,
+    spatial_scales: tuple,
+    output_size: tuple = (4, 4, 4),
+    sampling_ratio: int = 2,
+    mode: str = "avg",
+    rotated: bool = True,
+    enlarge_scale: float = 0.2,
+) -> jax.Array:
+    """Batched :func:`multilevel_roi_align`: features (B, X_l, Y_l, Z_l, C),
+    rois (B, R, 6|7), levels/valid (B, R) -> (B, R, ox, oy, oz, C).
+
+    Prefer this over ``vmap(multilevel_roi_align)`` in train/eval steps, and
+    note the buffer is LEVEL-major — ``concat([f.reshape(B*V_l, C)])`` —
+    not scene-major: each piece is then a free reshape view of its conv
+    output, so layout assignment keeps the backbone/FPN in natural
+    channel-minor layouts.  Both a vmapped per-scene gather and a
+    scene-major (B*V, C) buffer made XLA lay the whole FPN out
+    batch-second-minor (to make the buffer build free), which put the
+    batch=2 dim in the sublane tile — T(2,128) — and knocked the level-0
+    3^3 conv backward to 35% MFU (r5 traces,
+    benchmarks/trace_rcnn_train.py)."""
+    b, r = rois.shape[:2]
+    c = features[0].shape[-1]
+    dims = np.asarray([f.shape[1:4] for f in features], np.int32)
+    flat = jnp.concatenate(
+        [f.reshape(-1, c) for f in features], axis=0)  # (sum B*V_l, C)
+    scene_id = jnp.repeat(jnp.arange(b, dtype=jnp.int32), r)  # (B*R,)
+    pooled = _roi_align_flat(
+        flat, dims, rois.reshape(b * r, rois.shape[-1]),
+        levels.reshape(b * r), valid.reshape(b * r), scene_id, b,
+        spatial_scales, output_size, sampling_ratio, mode, rotated,
+        enlarge_scale)
+    return pooled.reshape(b, r, *pooled.shape[1:])
+
+
+def _roi_align_flat(
+    flat: jax.Array,
+    dims: np.ndarray,
+    rois: jax.Array,
+    levels: jax.Array,
+    valid: jax.Array,
+    scene_id,
+    n_scenes: int,
+    spatial_scales: tuple,
+    output_size: tuple,
+    sampling_ratio: int,
+    mode: str,
+    rotated: bool,
+    enlarge_scale: float,
+) -> jax.Array:
+    """Shared core: gather RoI bins from a flattened LEVEL-major concat
+    (each level block holds its ``n_scenes`` scene sub-blocks back to
+    back; ``scene_id`` is the per-roi scene index, None when
+    n_scenes == 1)."""
     if rotated:
         obb = rois
     else:  # AABB -> centre/size, theta = 0
@@ -150,15 +225,75 @@ def multilevel_roi_align(
         obb = jnp.concatenate([ctr, size, jnp.zeros((rois.shape[0], 1))], axis=-1)
     obb = obb.at[:, 3:6].multiply(1.0 + enlarge_scale)
 
-    out = None
-    for lvl, (feat, scale) in enumerate(zip(features, spatial_scales)):
-        pooled = roi_align_rotated_3d(
-            feat, obb, float(scale), output_size, sampling_ratio, mode
-        )
-        sel = (levels == lvl) & valid
-        w = sel.astype(pooled.dtype)[:, None, None, None, None]
-        out = pooled * w if out is None else out + pooled * w
-    return out
+    n_levels = len(dims)
+    sizes = dims.prod(axis=1)
+    offsets = np.concatenate(
+        [[0], np.cumsum(sizes * n_scenes)[:-1]]).astype(np.int32)
+
+    lvl = jnp.clip(levels, 0, n_levels - 1)
+    in_range = (levels >= 0) & (levels < n_levels)
+    scale = jnp.asarray(np.asarray(spatial_scales, np.float32))[lvl]  # (R,)
+    dim_r = jnp.asarray(dims)[lvl]          # (R, 3)
+    off_r = jnp.asarray(offsets)[lvl]       # (R,)
+    if scene_id is not None:
+        off_r = off_r + scene_id * jnp.asarray(sizes.astype(np.int32))[lvl]
+
+    r = obb.at[:, 0:6].multiply((1.0 / scale)[:, None])
+    pts = _roi_sample_points(r, output_size, sampling_ratio)
+    # (R, ox, oy, oz, S^3, C)
+    vals = _trilinear_gather_levels(flat, pts, dim_r, off_r)
+    if mode == "avg":
+        pooled = jnp.mean(vals, axis=-2)
+    elif mode == "max":
+        pooled = jnp.max(vals, axis=-2)
+    else:
+        raise ValueError(mode)
+    sel = in_range & valid
+    return pooled * sel.astype(pooled.dtype)[:, None, None, None, None]
+
+
+def _trilinear_gather_levels(
+    flat: jax.Array, pts: jax.Array, dims: jax.Array, off: jax.Array
+) -> jax.Array:
+    """Trilinear sample a flattened level concat at per-roi levels.
+
+    flat: (sum V_l, C) row buffer; pts: (R, ..., 3) float coords in the
+    roi's own level grid; dims: (R, 3) that level's (X, Y, Z); off: (R,)
+    that level's base row offset.  Zero outside the level bounds — same
+    contract as :func:`trilinear_gather` per level.
+    """
+    extra = pts.ndim - 2  # broadcast dims between R and the coord axis
+    ix = (slice(None),) + (None,) * extra
+    sx = dims[(*ix, 0)].astype(pts.dtype)
+    sy = dims[(*ix, 1)].astype(pts.dtype)
+    sz = dims[(*ix, 2)].astype(pts.dtype)
+    syi = dims[(*ix, 1)]
+    szi = dims[(*ix, 2)]
+    base = off[ix]
+    x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    z0 = jnp.floor(z)
+    fx, fy, fz = x - x0, y - y0, z - z0
+    in_bounds = (
+        (x >= 0) & (x <= sx - 1) & (y >= 0) & (y <= sy - 1)
+        & (z >= 0) & (z <= sz - 1)
+    )
+    out = 0.0
+    for dx in (0, 1):
+        for dy in (0, 1):
+            for dz in (0, 1):
+                xi = jnp.clip(x0 + dx, 0, sx - 1).astype(jnp.int32)
+                yi = jnp.clip(y0 + dy, 0, sy - 1).astype(jnp.int32)
+                zi = jnp.clip(z0 + dz, 0, sz - 1).astype(jnp.int32)
+                w = (
+                    (fx if dx else 1 - fx)
+                    * (fy if dy else 1 - fy)
+                    * (fz if dz else 1 - fz)
+                )
+                idx = base + (xi * syi + yi) * szi + zi
+                out = out + flat[idx] * w[..., None]
+    return out * in_bounds[..., None]
 
 
 def map_rois_to_levels(

@@ -302,6 +302,18 @@ def make_fcos_train_step(model, cfg: FCOSConfig, mesh_shape):
     return train_step, counts
 
 
+def _rcnn_feature_barrier() -> bool:
+    """Experiment knob: NERF_RPN_TPU_RCNN_FEATURE_BARRIER=1 puts an
+    optimization barrier between the FPN outputs and the RoI-align flat
+    buffer in the fine-tune train step — probing whether the RoI scatter's
+    layout keeps XLA's batch-fold-into-space conv rewrite from firing on
+    the FPN conv backward (r5 trace: dgrad 6.2 ms at 35% MFU vs the same
+    conv's forward at 95.6%)."""
+    import os
+
+    return os.environ.get("NERF_RPN_TPU_RCNN_FEATURE_BARRIER", "0") != "0"
+
+
 def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
                          backbone=None, reg_loss_weight=1.0, obj_only=False):
     """RCNN second stage (reference ``Classification_Model.forward`` +
@@ -312,7 +324,7 @@ def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
     import jax.random as jrandom
 
     from nerf_rpn_tpu.models import detector as det
-    from nerf_rpn_tpu.ops.roi_align import multilevel_roi_align
+    from nerf_rpn_tpu.ops.roi_align import multilevel_roi_align_batched
 
     @jax.jit
     def train_step(state, batch, key):
@@ -344,14 +356,15 @@ def make_rcnn_train_step(head_model, cfg, spatial_scales, rois_per_image,
             )(keys, batch["rois"], batch["roi_levels"], batch["roi_valid"],
               batch["gt_boxes"], batch["gt_mask"])
 
-            pooled = jax.vmap(
-                lambda feats, s: multilevel_roi_align(
-                    list(feats), s["boxes"], s["levels"], s["valid"],
-                    spatial_scales, cfg.output_size, cfg.sampling_ratio,
-                    cfg.pool_mode, rotated=cfg.rotated,
-                    enlarge_scale=cfg.enlarge_scale,
-                )
-            )(tuple(features), sampled)
+            feats = list(features)
+            if _rcnn_feature_barrier():
+                feats = list(jax.lax.optimization_barrier(tuple(feats)))
+            pooled = multilevel_roi_align_batched(
+                feats, sampled["boxes"], sampled["levels"],
+                sampled["valid"], spatial_scales, cfg.output_size,
+                cfg.sampling_ratio, cfg.pool_mode, rotated=cfg.rotated,
+                enlarge_scale=cfg.enlarge_scale,
+            )
             flat = pooled.reshape(-1, *pooled.shape[2:])
             deltas, scores = head_model.apply({"params": head_params}, flat)
             losses = det.rcnn_losses(
@@ -390,7 +403,7 @@ def make_rcnn_eval_step(head_model, cfg, spatial_scales, backbone=None):
     cls_batch_size chunks, ``run_rpn_detect.py:459-491`` — fixed shapes make
     that unnecessary here)."""
     from nerf_rpn_tpu.models import detector as det
-    from nerf_rpn_tpu.ops.roi_align import multilevel_roi_align
+    from nerf_rpn_tpu.ops.roi_align import multilevel_roi_align_batched
 
     @jax.jit
     def eval_step(state, batch):
@@ -408,13 +421,12 @@ def make_rcnn_eval_step(head_model, cfg, spatial_scales, backbone=None):
             lambda r, v, g, gm: det.label_all_rois(cfg, r, v, g, gm)
         )(batch["rois"], batch["roi_valid"], batch["gt_boxes"], batch["gt_mask"])
 
-        pooled = jax.vmap(
-            lambda feats, r, lv, v: multilevel_roi_align(
-                list(feats), r, lv, v, spatial_scales, cfg.output_size,
-                cfg.sampling_ratio, cfg.pool_mode, rotated=cfg.rotated,
-                enlarge_scale=cfg.enlarge_scale,
-            )
-        )(tuple(features), batch["rois"], batch["roi_levels"], batch["roi_valid"])
+        pooled = multilevel_roi_align_batched(
+            list(features), batch["rois"], batch["roi_levels"],
+            batch["roi_valid"], spatial_scales, cfg.output_size,
+            cfg.sampling_ratio, cfg.pool_mode, rotated=cfg.rotated,
+            enlarge_scale=cfg.enlarge_scale,
+        )
         b, r = pooled.shape[:2]
         flat = pooled.reshape(b * r, *pooled.shape[2:])
         deltas, scores = head_model.apply({"params": head_params}, flat)

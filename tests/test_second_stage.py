@@ -98,6 +98,45 @@ def test_multilevel_roi_align_selects_level():
     np.testing.assert_allclose(out2[1], 0.0)
 
 
+def test_multilevel_roi_align_batched_matches_vmap():
+    """multilevel_roi_align_batched (batch folded into the gather row index,
+    used by the train/eval steps for layout reasons) is bit-identical to
+    vmap(multilevel_roi_align) per scene, including rotated rois, invalid
+    rois and out-of-range levels."""
+    from nerf_rpn_tpu.ops.roi_align import multilevel_roi_align_batched
+
+    rng = np.random.default_rng(0)
+    b, r = 3, 9
+    feats = [jnp.asarray(rng.normal(size=(b, 16 // (2 ** l), 12 // (2 ** l),
+                                          8 // (2 ** l), 4)), jnp.float32)
+             for l in range(3)]
+    ctr = rng.uniform(1, 10, (b, r, 3))
+    size = rng.uniform(1, 6, (b, r, 3))
+    theta = rng.uniform(-1.5, 1.5, (b, r, 1))
+    rois = jnp.asarray(np.concatenate([ctr, size, theta], -1), jnp.float32)
+    levels = jnp.asarray(rng.integers(-1, 4, (b, r)), jnp.int32)  # incl. oob
+    valid = jnp.asarray(rng.random((b, r)) > 0.2)
+    scales = (1, 2, 4)
+
+    batched = multilevel_roi_align_batched(
+        feats, rois, levels, valid, scales, (2, 2, 2), 2)
+    ref = jax.vmap(
+        lambda f0, f1, f2, ro, lv, v: multilevel_roi_align(
+            [f0, f1, f2], ro, lv, v, scales, (2, 2, 2), 2)
+    )(feats[0], feats[1], feats[2], rois, levels, valid)
+    np.testing.assert_array_equal(np.asarray(batched), np.asarray(ref))
+    # aabb path too
+    aabb = jnp.concatenate([rois[..., :3] - rois[..., 3:6] / 2,
+                            rois[..., :3] + rois[..., 3:6] / 2], -1)
+    batched2 = multilevel_roi_align_batched(
+        feats, aabb, levels, valid, scales, (2, 2, 2), 2, rotated=False)
+    ref2 = jax.vmap(
+        lambda f0, f1, f2, ro, lv, v: multilevel_roi_align(
+            [f0, f1, f2], ro, lv, v, scales, (2, 2, 2), 2, rotated=False)
+    )(feats[0], feats[1], feats[2], aabb, levels, valid)
+    np.testing.assert_array_equal(np.asarray(batched2), np.asarray(ref2))
+
+
 def test_level_mapper():
     boxes = jnp.asarray(
         [
