@@ -281,6 +281,31 @@ def fcos_losses(
         jnp.sum(sigmoid_focal_loss(cls, labels) * valid) / num_pos_avg
     )
 
+    # The reg/centerness losses only see POSITIVE locations (the reference
+    # indexes pos_inds, ``loss.py:527-536``), but the center-sampled
+    # positive count is tiny (<= ~128 per GT: a 3-stride-wide region at
+    # stride spacing over <= 2 soi-compatible levels) while the dense
+    # masked form ran the rotated-IoU polygon clip + its VJP over all
+    # B x 146k locations — ~23 ms/step of loop fusions in the r5 trace.
+    # Gather the positives to a fixed capacity K first (same trick as
+    # rpn_losses' K=256 sampled rows); exact as long as n_pos <= K, which
+    # the center-sampling geometry guarantees.  radius == 0 keeps the
+    # dense path (positives = all in-box locations, unbounded).
+    k_pos = 0
+    if cfg.center_sampling_radius > 0:
+        k_pos = min(l_total, 128 * gt.shape[1])
+    if 0 < k_pos < l_total:
+        # plain lax.top_k: at L~73k it lowers to one sort (~0.1 ms); the
+        # radix select in ops/topk costs ~3.5 ms of DUS writes here and
+        # the tunnel-AOT SIGABRT it works around only bites at axes>=500k
+        _, idx = jax.lax.top_k(pos.astype(jnp.float32), k_pos)  # (B, K)
+        pos = jnp.take_along_axis(pos, idx, axis=1)
+        box_reg = jnp.take_along_axis(
+            box_reg, idx[..., None], axis=1)
+        reg_targets = jnp.take_along_axis(
+            reg_targets, idx[..., None], axis=1)
+        centerness = jnp.take_along_axis(centerness, idx[..., None], axis=1)
+
     ctr_targets = compute_centerness_targets(reg_targets)
     ctr_targets = jnp.where(pos, ctr_targets, 0.0)
     sum_ctr_avg = jnp.maximum(reduce_mean(jnp.sum(ctr_targets)), 1e-6)

@@ -28,6 +28,139 @@ import flax.linen as nn
 normal_init = nn.initializers.normal(stddev=0.01)
 
 
+import dataclasses
+
+
+def _fcos_fold_tower() -> bool:
+    """NERF_RPN_TPU_FCOS_FOLD_TOWER=1 enables the hand-folded FCOS tower
+    (see ``fold_batch_z``).
+
+    Default OFF — measured NET NEGATIVE at the bench config (r5 trace
+    pair, swin_s fcos_obb 160^3 batch 2): the fold removes XLA's per-conv
+    batch staging (loop fusions 52 -> 17, broadcasts 9.7 -> 0 ms; folded
+    forward convs at 95% MFU) but the batch-1 folded tensor kills XLA's
+    batch-group weight-grad form — tower wgrads collapse to 17-30 GB/s
+    (~70 ms/step) and the step goes 199.2 -> 225.9 ms.  Kept as a pinned
+    negative result + harness (test_fcos_head_folded_tower_matches_unfolded
+    proves bit-equal outputs)."""
+    import os
+
+    return os.environ.get("NERF_RPN_TPU_FCOS_FOLD_TOWER", "0") == "1"
+
+
+@dataclasses.dataclass(frozen=True)
+class FoldSpec:
+    """Batch-folded-into-z tower layout (see ``fold_batch_z``)."""
+
+    scenes: int
+    pad: int
+    z: int          # true z extent per scene
+    mask: tuple     # (zb,) 0/1 validity of one scene block
+    count: int      # true elements per (scene, group) for GN stats
+
+
+def fold_batch_z(x: jax.Array, num_groups: int = 32):
+    """(B, X, Y, Z, C) -> ((1, X, Y, B*(Z+2p), C), FoldSpec).
+
+    Folds the scene axis into z with p>=1 zero columns on each side of
+    every scene so a 3^3 SAME conv on the folded tensor reproduces the
+    per-scene SAME conv exactly (each conv reads 1 zero past the scene; the
+    GN between convs re-zeros the gaps, so bleed never accumulates and
+    p=1 suffices — p is raised only until B*(Z+2p) is a multiple of 8 for
+    sublane alignment).  XLA performs this very fold internally per conv
+    when batch>1 (the (40,40,16,6,C) fusions in the train traces) but
+    re-stages it around every GN/ReLU, ~1.9 ms per level-0 tower conv;
+    keeping the tensor folded across the whole tower removes that.
+    """
+    b, xx, yy, z, c = x.shape
+    p = 1
+    while (z + 2 * p) % 8 and p < 8:
+        p += 1
+    zb = z + 2 * p
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (p, p), (0, 0)))
+    xf = xp.transpose(1, 2, 0, 3, 4).reshape(1, xx, yy, b * zb, c)
+    mask = tuple(1.0 if p <= i < p + z else 0.0 for i in range(zb))
+    count = xx * yy * z * (c // num_groups)
+    return xf, FoldSpec(scenes=b, pad=p, z=z, mask=mask, count=count)
+
+
+def unfold_batch_z(y: jax.Array, spec: FoldSpec) -> jax.Array:
+    """Inverse of ``fold_batch_z`` for a folded tensor with any C."""
+    _, xx, yy, bz = y.shape[:4]
+    c = y.shape[-1]
+    zb = bz // spec.scenes
+    yv = y.reshape(xx, yy, spec.scenes, zb, c)
+    yv = jax.lax.slice_in_dim(yv, spec.pad, spec.pad + spec.z, axis=3)
+    return yv.transpose(2, 0, 1, 3, 4)
+
+
+class GroupNormFast(nn.Module):
+    """GroupNorm with f32 stats and a COMPUTE-dtype affine apply.
+
+    Math- and param-tree-compatible with ``nn.GroupNorm(num_groups,
+    epsilon)`` (params ``scale``/``bias`` of shape (C,), stats over
+    (spatial, C/G) per (scene, group) in f32).  The difference: flax
+    normalizes in f32 end to end, so in a bf16 tower every GN fwd/bwd
+    streams f32 copies of the activation (157 MB per (2,40^3,256) level-0
+    tensor) — the r5 FCOS train trace shows ~50 ms/step of such
+    loop/convert fusions.  Here the stats are folded into per-(scene,
+    group) a = gamma/sigma, b = beta - mu*gamma/sigma in f32, cast to the
+    input dtype, and the apply is ONE fused multiply-add in bf16.
+    Backward through the stats stays exact-shaped (autodiff); only the
+    elementwise streams drop to bf16.
+    """
+
+    num_groups: int = 32
+    epsilon: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jax.Array, folded: "FoldSpec | None" = None
+                 ) -> jax.Array:
+        c = x.shape[-1]
+        g = self.num_groups
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+        gamma = scale.astype(jnp.float32).reshape(g, c // g)
+        beta = bias.astype(jnp.float32).reshape(g, c // g)
+
+        if folded is None:
+            xg = x.reshape(x.shape[0], -1, g, c // g)  # (B, S, G, C/G)
+            xf = xg.astype(jnp.float32)
+            mean = jnp.mean(xf, axis=(1, 3))           # (B, G)
+            mean2 = jnp.mean(jnp.square(xf), axis=(1, 3))
+            var = jnp.maximum(mean2 - jnp.square(mean), 0.0)
+            inv = jax.lax.rsqrt(var + self.epsilon)    # (B, G)
+            a = inv[..., None] * gamma                 # (B, G, C/G)
+            b = beta - mean[..., None] * a
+            a = a.reshape(x.shape[0], c).astype(x.dtype)
+            b = b.reshape(x.shape[0], c).astype(x.dtype)
+            shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (c,)
+            return x * a.reshape(shape) + b.reshape(shape)
+
+        # Batch-FOLDED input (1, X, Y, scenes*zb, C): stats per
+        # (scene-block, group); gap columns may hold conv bleed — masked
+        # out of the stats and re-zeroed on output (the affine's +b would
+        # otherwise leak into the next conv's halo).
+        scenes = folded.scenes
+        xx, yy, bz = x.shape[1:4]
+        zb = bz // scenes
+        m = jnp.asarray(folded.mask, x.dtype).reshape(1, 1, 1, zb, 1)
+        xv = x.reshape(xx, yy, scenes, zb, c) * m
+        xf = xv.reshape(xx, yy, scenes, zb, g, c // g).astype(jnp.float32)
+        s1 = jnp.sum(xf, axis=(0, 1, 3, 5))        # (scenes, G)
+        s2 = jnp.sum(jnp.square(xf), axis=(0, 1, 3, 5))
+        count = float(folded.count)                # true elems / (scene, group)
+        mean = s1 / count
+        var = jnp.maximum(s2 / count - jnp.square(mean), 0.0)
+        inv = jax.lax.rsqrt(var + self.epsilon)
+        a = inv[..., None] * gamma                 # (scenes, G, C/G)
+        b = beta - mean[..., None] * a
+        a = a.reshape(1, 1, scenes, 1, c).astype(x.dtype)
+        b = b.reshape(1, 1, scenes, 1, c).astype(x.dtype)
+        y = (xv * a + b) * m
+        return y.reshape(x.shape)
+
+
 class RPNHead3D(nn.Module):
     in_channels: int = 256
     num_anchors: int = 13
@@ -119,12 +252,12 @@ class FCOSHead3D(nn.Module):
                             name=f"{prefix}_{d}_conv")
                 )
                 layers.append(
-                    nn.GroupNorm(num_groups=32, epsilon=1e-5, dtype=self.dtype,
-                                 name=f"{prefix}_{d}_gn")
+                    GroupNormFast(num_groups=32, epsilon=1e-5,
+                                  name=f"{prefix}_{d}_gn")
                 )
-            def run(x):
+            def run(x, folded=None):
                 for conv, gn in zip(layers[0::2], layers[1::2]):
-                    x = nn.relu(gn(conv(x)))
+                    x = nn.relu(gn(conv(x), folded=folded))
                 return x
             return run
 
@@ -164,19 +297,37 @@ class FCOSHead3D(nn.Module):
 
         cls_out, reg_out, ctr_out = [], [], []
         for lvl, f in enumerate(features):
-            ct = cls_tower(f)
-            bt = bbox_tower(f)
+            # Fold scenes into z for the tower + final convs (one fold, one
+            # unfold per level) instead of XLA's per-conv batch staging;
+            # bit-equal per-scene conv outputs (gaps re-zeroed every GN).
+            spec = None
+            x_in = f
+            if _fcos_fold_tower() and f.shape[0] > 1 and f.shape[3] >= 10:
+                x_in, spec = fold_batch_z(f, num_groups=32)
+            ct = cls_tower(x_in, spec)
+            bt = bbox_tower(x_in, spec)
             c_in = f.shape[-1]
             if self.centerness_on_reg:
-                cls_out.append(conv3(ct, [cls_p(c_in)]))
+                cls_o = conv3(ct, [cls_p(c_in)])
                 merged = conv3(bt, [ctr_p(c_in), bbox_p(c_in)])
+            else:
+                cls_merged = conv3(ct, [cls_p(c_in), ctr_p(c_in)])
+                bbox_o = conv3(bt, [bbox_p(c_in)])
+            if spec is not None:
+                if self.centerness_on_reg:
+                    cls_o = unfold_batch_z(cls_o, spec)
+                    merged = unfold_batch_z(merged, spec)
+                else:
+                    cls_merged = unfold_batch_z(cls_merged, spec)
+                    bbox_o = unfold_batch_z(bbox_o, spec)
+            if self.centerness_on_reg:
+                cls_out.append(cls_o)
                 ctr_out.append(merged[..., :1])
                 reg = merged[..., 1:]
             else:
-                merged = conv3(ct, [cls_p(c_in), ctr_p(c_in)])
-                cls_out.append(merged[..., :1])
-                ctr_out.append(merged[..., 1:2])
-                reg = conv3(bt, [bbox_p(c_in)])
+                cls_out.append(cls_merged[..., :1])
+                ctr_out.append(cls_merged[..., 1:2])
+                reg = bbox_o
             # distances (first 6 channels) are scaled; OBB midpoint offsets
             # (channels 6:8) pass through the Scale but not the stride/exp
             reg = Scale(name=f"scale_{lvl}")(reg)

@@ -174,6 +174,26 @@ def test_fcos_head():
     assert abs(p - 0.01) < 0.005
 
 
+def test_fcos_head_folded_tower_matches_unfolded(monkeypatch):
+    """The batch-folded tower (fold_batch_z: scenes into z with re-zeroed
+    gaps, one fold/unfold per level) must reproduce the per-scene tower
+    to float roundoff — the only difference is the GN stat reduce order."""
+    rng = np.random.default_rng(0)
+    feats = [jnp.asarray(rng.normal(size=(2, 12, 12, 12, 32)), jnp.float32),
+             jnp.asarray(rng.normal(size=(2, 6, 6, 10, 32)), jnp.float32)]
+    head = FCOSHead3D(in_channels=32, num_levels=2, num_convs=2, rotate=True,
+                      fpn_strides=(4, 8))
+    variables = head.init(jax.random.PRNGKey(0), feats)
+    monkeypatch.setenv("NERF_RPN_TPU_FCOS_FOLD_TOWER", "1")
+    folded = head.apply(variables, feats, train=True)
+    monkeypatch.setenv("NERF_RPN_TPU_FCOS_FOLD_TOWER", "0")
+    plain = head.apply(variables, feats, train=True)
+    for xs, ys in zip(folded, plain):
+        for x, y in zip(xs, ys):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), atol=2e-5, rtol=1e-4)
+
+
 def test_anchor_counts_default_config():
     """Default config must produce 13 anchors per location (SURVEY 2.4)."""
     assert anchors_per_level(DEFAULT_ANCHOR_SIZES[0], DEFAULT_ASPECT_RATIOS[0]) == 13
