@@ -44,6 +44,24 @@ def enable_compilation_cache(path: str = "/tmp/jax_bench_cache"):
         pass
 
 
+def local_batch_size(batch_size: int) -> int:
+    """Per-process batch size (the reference divides the global batch over
+    ranks: per-rank batch = batch_size // world, ``run_rpn.py:336-339``).
+    The global jit still sees the full ``batch_size`` — ``shard_batch``
+    assembles the global array from each process's local piece."""
+    import jax
+
+    world = jax.process_count()
+    if world == 1:
+        return batch_size
+    if batch_size % world:
+        raise ValueError(
+            f"--batch_size {batch_size} must be divisible by the process "
+            f"count ({world}) — the reference has the same constraint via "
+            f"DistributedSampler + batch_size // world_size")
+    return batch_size // world
+
+
 def setup_logger(save_path: str = "", log_to_file: bool = False,
                  name: str = "nerf_rpn_tpu") -> logging.Logger:
     logger = logging.getLogger(name)

@@ -24,7 +24,8 @@ from nerf_rpn_tpu.models.fcos import FCOSConfig
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
 from nerf_rpn_tpu.train.state import create_train_state, make_optimizer
 from nerf_rpn_tpu.train.steps import make_fcos_eval_step, make_fcos_train_step
-from nerf_rpn_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
+from nerf_rpn_tpu.parallel.mesh import (local_replica, make_mesh_for_batch,
+                                         process_barrier, shard_batch)
 
 STRIDES = (4, 8, 16, 32)
 
@@ -109,6 +110,9 @@ class Trainer:
         self.logger = common.setup_logger(args.save_path, args.log_to_file, "run_fcos")
         self.wandb = common.maybe_wandb(args)
         self.mesh = make_mesh_for_batch(args.batch_size)
+        self.eval_mesh = (
+            self.mesh if jax.process_count() == 1
+            else make_mesh_for_batch(args.batch_size, jax.local_devices()))
         self.box_dim = 7 if args.rotated_bbox else 6
         side = round_up(args.resolution, args.pad_multiple)
         self.mesh_shape = (side, side, side)
@@ -152,24 +156,40 @@ class Trainer:
                 load_opt_state=False)
             self.logger.info(f"Loaded checkpoint {self.args.checkpoint}")
 
-    def _batches(self, dataset, shuffle, seed=0):
+    def _batches(self, dataset, shuffle, seed=0, local=False):
         """(host_batch, device_batch) pairs, prefetched ahead of the step
-        (see run_rpn.py._batches)."""
+        (see run_rpn.py._batches; ``local=True`` = the rank-0-only eval
+        path: no process sharding, process-local mesh)."""
         it = batch_iterator(
-            dataset, self.args.batch_size, shuffle=shuffle, seed=seed,
+            dataset,
+            self.args.batch_size if local
+            else common.local_batch_size(self.args.batch_size),
+            shuffle=shuffle, seed=seed,
             pad_multiple=self.args.pad_multiple, max_gt=self.args.max_gt,
             box_dim=self.box_dim, fixed_shape=self.mesh_shape,
             # drop ragged trailing train batches: a different batch dim
             # would force a fresh (minutes-long) compile
             drop_last=shuffle,
-            process_index=jax.process_index(), process_count=jax.process_count(),
+            process_index=0 if local else jax.process_index(),
+            process_count=1 if local else jax.process_count(),
             num_workers=self.args.num_workers,
             # host-side cast to the model dtype (identical values, half the
             # transfer; see run_rpn.py._batches)
             grid_dtype=self.model.dtype)
+        mesh = self.eval_mesh if local else self.mesh
+        n_mesh = len(mesh.devices.ravel())
+
+        def tx(b):
+            m = b["grids"].shape[0]
+            if not shuffle and m % n_mesh:
+                # ragged trailing EVAL batch: re-mesh over a divisor count
+                # (the eval step recompiles for the new batch shape anyway)
+                sub = make_mesh_for_batch(m, list(mesh.devices.ravel()))
+                return (b, shard_batch(sub, b))
+            return (b, shard_batch(mesh, b))
+
         return prefetch_iterator(
-            it, depth=self.args.prefetch_batches,
-            transform=lambda b: (b, shard_batch(self.mesh, b)))
+            it, depth=self.args.prefetch_batches, transform=tx)
 
     def train_loop(self):
         args = self.args
@@ -182,10 +202,18 @@ class Trainer:
         os.makedirs(args.save_path, exist_ok=True)
         key = jax.random.PRNGKey(args.seed)
         best_metric = None
+        multiproc = jax.process_count() > 1
+        compiled_step = None
         for epoch in range(1, args.num_epochs + 1):
             for i, (_, batch) in enumerate(
                     self._batches(train_set, True, seed=epoch)):
                 key, sub = jax.random.split(key)
+                if multiproc and compiled_step is None:
+                    # AOT-compile + rendezvous: see mesh.process_barrier
+                    compiled_step = train_step.lower(
+                        self.state, batch, sub).compile()
+                    process_barrier("fcos_train_step_compiled")
+                    train_step = compiled_step
                 self.state, metrics = train_step(self.state, batch, sub)
                 if i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -195,9 +223,8 @@ class Trainer:
                         f"ctr {m['loss_centerness']:.4f}")
                     if self.wandb:
                         self.wandb.log({**m, "epoch": epoch})
-            if jax.process_index() != 0:
-                continue
-            if epoch % args.eval_interval == 0 or epoch == args.num_epochs:
+            if jax.process_index() == 0 and (
+                    epoch % args.eval_interval == 0 or epoch == args.num_epochs):
                 recalls, aps = self.eval(val_set, write_json=False)
                 metric = recalls[-1] if recalls else -1.0
                 if best_metric is None or metric > best_metric:
@@ -209,16 +236,21 @@ class Trainer:
                     self.state, os.path.join(args.save_path, f"epoch_{epoch}"),
                     vars(args))
                 ckpt_lib.delete_old_checkpoints(args.save_path, args.keep_checkpoints)
+            # re-align ranks after rank-0's eval/checkpoint
+            process_barrier(f"fcos_epoch_{epoch}_done")
 
     def eval(self, dataset, write_json=True):
         args = self.args
         eval_step = make_fcos_eval_step(self.model, self.cfg, self.mesh_shape)
+        # rank-local eval needs a rank-local copy of the (global-mesh) state
+        state = (self.state if jax.process_count() == 1
+                 else local_replica(self.state))
         proposals_list, scores_list, levels_list = [], [], []
         gt_boxes_list, scenes_list = [], []
-        for batch, sb in self._batches(dataset, False):
+        for batch, sb in self._batches(dataset, False, local=True):
             names = batch["names"]
             gt_mask = batch["gt_mask"]
-            out = eval_step(self.state, sb)
+            out = eval_step(state, sb)
             props, scs, lvls = common.unmask_proposals(out, self.box_dim)
             proposals_list.extend(props)
             scores_list.extend(scs)

@@ -29,7 +29,8 @@ from nerf_rpn_tpu.models.rpn import RPNConfig
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
 from nerf_rpn_tpu.train.state import create_train_state, make_optimizer
 from nerf_rpn_tpu.train.steps import make_rpn_eval_step, make_rpn_train_step
-from nerf_rpn_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
+from nerf_rpn_tpu.parallel.mesh import (local_replica, make_mesh_for_batch,
+                                         process_barrier, shard_batch)
 
 STRIDES = (4, 8, 16, 32)
 
@@ -115,6 +116,9 @@ class Trainer:
         self.logger = common.setup_logger(args.save_path, args.log_to_file, "run_rpn")
         self.wandb = common.maybe_wandb(args)
         self.mesh = make_mesh_for_batch(args.batch_size)
+        self.eval_mesh = (
+            self.mesh if jax.process_count() == 1
+            else make_mesh_for_batch(args.batch_size, jax.local_devices()))
         self.box_dim = 7 if args.rotated_bbox else 6
         side = round_up(args.resolution, args.pad_multiple)
         self.mesh_shape = (side, side, side)
@@ -176,27 +180,48 @@ class Trainer:
             )
             self.logger.info(f"Loaded checkpoint {self.args.checkpoint}")
 
-    def _batches(self, dataset, shuffle, seed=0):
+    def _batches(self, dataset, shuffle, seed=0, local=False):
         """Yields (host_batch, device_batch) pairs, loaded + transferred up
         to ``--prefetch_batches`` ahead of the consumer (the reference's
-        DataLoader(num_workers=4, pin_memory=True) analogue)."""
+        DataLoader(num_workers=4, pin_memory=True) analogue).
+
+        ``local=True`` = the rank-0-only EVAL path (reference evaluates the
+        whole val set on rank 0, ``run_rpn.py:359-370``): no process
+        sharding and a process-local mesh — a jit over the global mesh
+        would deadlock when only rank 0 calls it."""
         it = batch_iterator(
-            dataset, self.args.batch_size, shuffle=shuffle, seed=seed,
+            dataset,
+            self.args.batch_size if local
+            else common.local_batch_size(self.args.batch_size),
+            shuffle=shuffle, seed=seed,
             pad_multiple=self.args.pad_multiple, max_gt=self.args.max_gt,
             box_dim=self.box_dim, fixed_shape=self.mesh_shape,
             # drop ragged trailing train batches: a different batch dim
             # would force a fresh (minutes-long) compile
             drop_last=shuffle,
-            process_index=jax.process_index(), process_count=jax.process_count(),
+            process_index=0 if local else jax.process_index(),
+            process_count=1 if local else jax.process_count(),
             num_workers=self.args.num_workers,
             # bf16 models cast grids at the first conv anyway; casting in the
             # host collate gives identical values, half the transfer, and
             # ~0.45 ms/scene on the embed unit (microbench_embed_layout.py)
             grid_dtype=self.model.dtype,
         )
+        mesh = self.eval_mesh if local else self.mesh
+        n_mesh = len(mesh.devices.ravel())
+
+        def tx(b):
+            m = b["grids"].shape[0]
+            if not shuffle and m % n_mesh:
+                # ragged trailing EVAL batch (drop_last only trims train
+                # batches): re-mesh over a device count dividing it — the
+                # eval step recompiles for the new batch shape anyway
+                sub = make_mesh_for_batch(m, list(mesh.devices.ravel()))
+                return (b, shard_batch(sub, b))
+            return (b, shard_batch(mesh, b))
+
         return prefetch_iterator(
-            it, depth=self.args.prefetch_batches,
-            transform=lambda b: (b, shard_batch(self.mesh, b)))
+            it, depth=self.args.prefetch_batches, transform=tx)
 
     # -- train ------------------------------------------------------------
 
@@ -213,10 +238,21 @@ class Trainer:
         key = jax.random.PRNGKey(args.seed)
         best_metric = None
         step = 0
+        multiproc = jax.process_count() > 1
+        compiled_step = None
         for epoch in range(1, args.num_epochs + 1):
             for i, (_, batch) in enumerate(
                     self._batches(train_set, True, seed=epoch)):
                 key, sub = jax.random.split(key)
+                if multiproc and compiled_step is None:
+                    # AOT-compile then rendezvous: ranks compile the step
+                    # graph at different speeds, and a rank that starts
+                    # EXECUTING while another still compiles blows the
+                    # ~30s CPU-collective handshake (see process_barrier)
+                    compiled_step = train_step.lower(
+                        self.state, batch, sub).compile()
+                    process_barrier("rpn_train_step_compiled")
+                    train_step = compiled_step
                 t0 = time.perf_counter()
                 self.state, metrics = train_step(self.state, batch, sub)
                 if i % args.log_interval == 0:
@@ -238,9 +274,8 @@ class Trainer:
                                         "param_norm": metrics.get("param_norm"),
                                         "epoch": epoch, "iter": step})
                 step += 1
-            if jax.process_index() != 0:
-                continue
-            if epoch % args.eval_interval == 0 or epoch == args.num_epochs:
+            if jax.process_index() == 0 and (
+                    epoch % args.eval_interval == 0 or epoch == args.num_epochs):
                 recalls, aps = self.eval(val_set, write_json=False)
                 metric = recalls[-1] if recalls else -1.0
                 if best_metric is None or metric > best_metric:
@@ -252,6 +287,9 @@ class Trainer:
                     self.state, os.path.join(args.save_path, f"epoch_{epoch}"),
                     vars(args))
                 ckpt_lib.delete_old_checkpoints(args.save_path, args.keep_checkpoints)
+            # re-align ranks after rank-0's eval/checkpoint (which can
+            # exceed the CPU-collective timeout the next step would hit)
+            process_barrier(f"rpn_epoch_{epoch}_done")
 
     # -- eval ---------------------------------------------------------------
 
@@ -296,12 +334,15 @@ class Trainer:
                 self.model, self.cfg_test, self.mesh_shape, STRIDES,
                 return_features=args.save_results)
             self._eval_steps[key] = eval_step
+        # rank-local eval needs a rank-local copy of the (global-mesh) state
+        state = (self.state if jax.process_count() == 1
+                 else local_replica(self.state))
         proposals_list, scores_list, levels_list = [], [], []
         gt_boxes_list, scenes_list = [], []
-        for batch, sb in self._batches(dataset, False):
+        for batch, sb in self._batches(dataset, False, local=True):
             names = batch["names"]
             gt_mask = batch["gt_mask"]
-            out = eval_step(self.state, sb)
+            out = eval_step(state, sb)
             props, scs, lvls = common.unmask_proposals(out, self.box_dim)
             proposals_list.extend(props)
             scores_list.extend(scs)

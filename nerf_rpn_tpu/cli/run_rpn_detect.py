@@ -34,7 +34,8 @@ from nerf_rpn_tpu.models.detector import RCNNConfig, RCNNHead
 from nerf_rpn_tpu.models.nerf_rpn import build_backbone
 from nerf_rpn_tpu.data.loader import prefetch_iterator
 from nerf_rpn_tpu.ops.roi_align import map_rois_to_levels_np
-from nerf_rpn_tpu.parallel.mesh import make_mesh_for_batch, shard_batch
+from nerf_rpn_tpu.parallel.mesh import (local_replica, make_mesh_for_batch,
+                                         process_barrier, shard_batch)
 from nerf_rpn_tpu.train import checkpoint as ckpt_lib
 from nerf_rpn_tpu.train.state import make_optimizer
 from nerf_rpn_tpu.train.steps import (
@@ -126,6 +127,9 @@ class Trainer:
                                           "run_rpn_detect")
         self.wandb = common.maybe_wandb(args)
         self.mesh = make_mesh_for_batch(args.batch_size)
+        self.eval_mesh = (
+            self.mesh if jax.process_count() == 1
+            else make_mesh_for_batch(args.batch_size, jax.local_devices()))
         self.box_dim = 7 if args.rotated_bbox else 6
         self.cfg = RCNNConfig(
             rotated=args.rotated_bbox,
@@ -235,18 +239,28 @@ class Trainer:
             self.state = ckpt_lib.restore_checkpoint(self.state, self.args.checkpoint)
             self.logger.info(f"Loaded checkpoint {self.args.checkpoint}")
 
-    def _batches(self, dataset, shuffle=False, seed=0):
+    def _batches(self, dataset, shuffle=False, seed=0, local=False):
         """Process-sharded batches (the reference's ``DistributedSampler``,
         ``run_rpn_detect.py:291-295``).  Train (shuffle) drops the ragged
         trailing batch to keep one compiled batch shape; eval pads it by
         repeating the last scene.  Yields (host_batch, device_batch, n_real)
         with loading + transfer prefetched ahead of the step (the reference's
-        DataLoader(num_workers=4, pin_memory=True) analogue)."""
+        DataLoader(num_workers=4, pin_memory=True) analogue).
+        ``local=True`` = the rank-0-only eval path: no process sharding,
+        process-local mesh."""
         order = np.arange(len(dataset))
         if shuffle:
             np.random.default_rng(seed).shuffle(order)
-        order = order[jax.process_index() :: jax.process_count()]
-        bs = self.args.batch_size
+        world = 1 if local else jax.process_count()
+        if world > 1:
+            # pad every rank to ceil(n/world) (DistributedSampler wrap) so
+            # all ranks run the same number of jitted collective steps
+            total = -(-len(order) // world) * world
+            if total > len(order):
+                order = np.concatenate([order, order[: total - len(order)]])
+            order = order[jax.process_index()::world]
+        bs = (self.args.batch_size if local
+              else common.local_batch_size(self.args.batch_size))
         nw = self.args.num_workers
         pool = ThreadPoolExecutor(nw) if nw > 0 else None
 
@@ -270,9 +284,10 @@ class Trainer:
                 if pool is not None:
                     pool.shutdown(wait=False, cancel_futures=True)
 
+        mesh = self.eval_mesh if local else self.mesh
         return prefetch_iterator(
             gen(), depth=self.args.prefetch_batches,
-            transform=lambda bn: (bn[0], shard_batch(self.mesh, bn[0]), bn[1]))
+            transform=lambda bn: (bn[0], shard_batch(mesh, bn[0]), bn[1]))
 
     def train_loop(self):
         args = self.args
@@ -291,11 +306,19 @@ class Trainer:
         os.makedirs(args.save_path, exist_ok=True)
         key = jax.random.PRNGKey(args.seed)
         best = None
+        multiproc = jax.process_count() > 1
+        compiled_step = None
         for epoch in range(1, args.num_epochs + 1):
             for i, (_, arrays, _n) in enumerate(
                 self._batches(train_set, True, seed=epoch)
             ):
                 key, sub = jax.random.split(key)
+                if multiproc and compiled_step is None:
+                    # AOT-compile + rendezvous: see mesh.process_barrier
+                    compiled_step = train_step.lower(
+                        self.state, arrays, sub).compile()
+                    process_barrier("rcnn_train_step_compiled")
+                    train_step = compiled_step
                 self.state, metrics = train_step(self.state, arrays, sub)
                 if i % args.log_interval == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -303,7 +326,8 @@ class Trainer:
                         f"Epoch {epoch} [{i}] loss {m['loss']:.4f} "
                         f"obj {m['loss_objectness']:.4f} "
                         f"reg {m['loss_rpn_box_reg']:.4f}")
-            if epoch % args.eval_interval == 0 or epoch == args.num_epochs:
+            if jax.process_index() == 0 and (
+                    epoch % args.eval_interval == 0 or epoch == args.num_epochs):
                 metric = self.eval(val_set)
                 if best is None or metric > best:
                     best = metric
@@ -315,6 +339,8 @@ class Trainer:
                     vars(args))
                 ckpt_lib.delete_old_checkpoints(args.save_path,
                                                 args.keep_checkpoints)
+            # re-align ranks after rank-0's eval/checkpoint
+            process_barrier(f"rcnn_epoch_{epoch}_done")
 
     def eval(self, dataset):
         args = self.args
@@ -326,10 +352,13 @@ class Trainer:
         filter_step = make_rcnn_filter_step(
             self.cfg, args.filter_score_threhold, args.nms_thresh,
             int(args.filter_num_threhold))
+        # rank-local eval needs a rank-local copy of the (global-mesh) state
+        state = (self.state if jax.process_count() == 1
+                 else local_replica(self.state))
         scores_list, labels_list = [], []
         refined_list, filt_scores_list, gt_list, names = [], [], [], []
-        for batch, arrays, n_real in self._batches(dataset):
-            out = eval_step(self.state, arrays)
+        for batch, arrays, n_real in self._batches(dataset, local=True):
+            out = eval_step(state, arrays)
             # "mesh size" for clipping: level-0 feature shape x stride-4
             # scale (grid shape x scale in fine-tune, reproducing the
             # reference's degenerate fine-tune sizes, run_rpn_detect.py:495)

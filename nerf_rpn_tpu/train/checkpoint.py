@@ -20,20 +20,59 @@ import numpy as np
 import orbax.checkpoint as ocp
 
 
+def _local_numpy(x):
+    """Materialise an array locally for a single-process orbax save.
+
+    In a multi-process run the rank-0-only checkpoint policy (reference
+    ``run_rpn.py:359-370``) means orbax cannot coordinate a distributed
+    save — but train state is REPLICATED (params/opt_state/batch_stats are
+    never sharded), so every process holds the full value in its first
+    addressable shard.  Sharded arrays are rejected loudly rather than
+    silently saving one shard."""
+    if isinstance(x, jax.Array) and not x.is_fully_addressable:
+        shard = x.addressable_shards[0].data
+        if shard.shape != x.shape:
+            raise ValueError(
+                f"cannot rank-0-save a sharded array (shape {x.shape}, "
+                f"local shard {shard.shape}); gather it first")
+        return np.asarray(shard)
+    return x
+
+
+def _checkpointer() -> ocp.StandardCheckpointer:
+    """Rank-LOCAL orbax checkpointer.
+
+    The reference's checkpoint policy is rank-0-only (``run_rpn.py:359-370``)
+    — but a default orbax ``StandardCheckpointer`` under
+    ``jax.distributed`` runs ``sync_global_processes`` (a device psum) inside
+    every save, which deadlocks (and times out the gloo handshake) when only
+    rank 0 is saving.  ``active_processes={this rank}`` makes every orbax
+    sync a no-op (``multihost.should_skip_process_sync``) and
+    ``primary_host=this rank`` keeps the actual write; the state is already
+    materialised host-locally by ``_local_numpy``."""
+    if jax.process_count() == 1:
+        return ocp.StandardCheckpointer()
+    me = jax.process_index()
+    return ocp.StandardCheckpointer(
+        multiprocessing_options=ocp.options.MultiprocessingOptions(
+            primary_host=me, active_processes={me},
+            barrier_sync_key_prefix=f"rank{me}"))
+
+
 def _to_saveable(state) -> dict:
-    return {
+    return jax.tree.map(_local_numpy, {
         "step": state.step,
         "params": state.params,
         "batch_stats": state.batch_stats,
         "opt_state": state.opt_state,
-    }
+    })
 
 
 def save_checkpoint(state, path: str, train_args: dict | None = None):
     path = os.path.abspath(path)
     if os.path.exists(path):
         shutil.rmtree(path)
-    with ocp.StandardCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         ckptr.save(path, _to_saveable(state))
     if train_args is not None:
         with open(path + ".args.json", "w") as f:
@@ -64,7 +103,7 @@ def restore_checkpoint(state, path: str, backbone_only: bool = False,
             merged["backbone"] = params["backbone"]
             return state.replace(params=merged)
         return state.replace(params=params, batch_stats=batch_stats)
-    with ocp.StandardCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         target = jax.tree.map(np.asarray, _to_saveable(state))
         restored = ckptr.restore(path, target=target)
     params = dict(state.params)
@@ -89,7 +128,7 @@ def load_raw_checkpoint(path: str) -> dict:
 
         with open(path, "rb") as f:
             return msgpack_restore(f.read())
-    with ocp.StandardCheckpointer() as ckptr:
+    with _checkpointer() as ckptr:
         return ckptr.restore(path)
 
 

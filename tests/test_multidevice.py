@@ -356,7 +356,9 @@ def test_rank_nonzero_skips_eval_and_checkpoints(tmp_path, monkeypatch):
         "--backbone_type", "resnet_tiny",
         "--resolution", "32",
         "--num_epochs", "1",
-        "--batch_size", "1",
+        # global batch must divide by the (mocked) process count; this
+        # rank's local batch is 1
+        "--batch_size", "2",
         "--rpn_head_conv_depth", "1",
         "--rpn_pre_nms_top_n_test", "64",
         "--rpn_post_nms_top_n_test", "32",
