@@ -187,7 +187,14 @@ def fcos_targets_single(
     labels = (min_area < INF).astype(jnp.float32)
     reg = jnp.take_along_axis(reg_all, gt_idx[:, None, None], axis=1)[:, 0]
     if cfg.norm_reg_targets:
-        reg = reg.at[..., :6].set(reg[..., :6] / stride_of_loc[:, None])
+        # one fusable per-channel multiply, NOT reg.at[..., :6].set(...):
+        # the at/set lowered to a dynamic-update-slice writing a 6-wide
+        # slab into the 8-wide minor axis at 2 GB/s (3.1 ms/step, r5 FCOS
+        # trace).  Strides are powers of two so multiply-by-reciprocal is
+        # bit-exact.
+        chan_scaled = jnp.arange(reg.shape[-1]) < 6
+        reg = reg * jnp.where(
+            chan_scaled[None, :], 1.0 / stride_of_loc[:, None], 1.0)
     return labels, reg
 
 

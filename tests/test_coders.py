@@ -104,3 +104,63 @@ def test_rotated_zero_deltas_identity(rng):
     rois = random_obbs(rng, 8)
     rec = np.asarray(decode_rotated(jnp.zeros((8, 7)), jnp.asarray(rois)))
     np.testing.assert_allclose(rec[:, :6], rois[:, :6], rtol=1e-5)
+
+
+def test_midpoint_coder_matches_reference_torch():
+    """Cross-implementation diff vs the reference coder (r5 OBB root-cause
+    evidence): encode must be bit-identical to ``rbbox2delta_sp`` and
+    decode identical to ``delta_sp2bbox`` up to the geometrically-null
+    theta +- pi representative (``midpoint_offset_coder.py:50-223``),
+    including near-degenerate thetas (0, +-pi/4, pi/2)."""
+    import sys
+    import types
+
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    fake_ext = types.ModuleType("sort_vertices")
+    fake_ext.sort_vertices_forward = lambda *a, **k: None
+    sys.modules["sort_vertices"] = fake_ext
+    sys.path.insert(0, "/root/reference/nerf_rpn")
+    try:
+        from model.coder.midpoint_offset_coder import (
+            delta_sp2bbox,
+            rbbox2delta_sp,
+        )
+
+        rng = np.random.default_rng(0)
+        n = 256
+        ctr = rng.uniform(8, 24, (n, 3))
+        size = rng.uniform(4, 16, (n, 3))
+        anchors = np.concatenate(
+            [ctr - size / 2, ctr + size / 2], -1).astype(np.float32)
+        theta = np.concatenate([
+            rng.uniform(-np.pi / 2, np.pi / 2, n - 64),
+            rng.uniform(-1e-3, 1e-3, 16),
+            np.full(16, np.pi / 4) + rng.uniform(-1e-3, 1e-3, 16),
+            np.full(16, -np.pi / 4) + rng.uniform(-1e-3, 1e-3, 16),
+            np.full(16, np.pi / 2 - 1e-4),
+        ])
+        gctr = ctr + rng.uniform(-2, 2, (n, 3))
+        gsz = rng.uniform(4, 16, (n, 3))
+        gt = np.concatenate([gctr, gsz, theta[:, None]], -1).astype(np.float32)
+
+        d_ours = np.asarray(
+            encode_midpoint_offset(jnp.asarray(gt), jnp.asarray(anchors)))
+        d_ref = rbbox2delta_sp(torch.tensor(anchors), torch.tensor(gt)).numpy()
+        np.testing.assert_allclose(d_ours, d_ref, rtol=1e-4, atol=1e-5)
+
+        b_ref = delta_sp2bbox(
+            torch.tensor(anchors), torch.tensor(d_ref)).numpy().reshape(n, 7)
+        b_ours = np.asarray(
+            decode_midpoint_offset(jnp.asarray(d_ref), jnp.asarray(anchors)))
+        diff = np.abs(b_ours - b_ref)
+        # theta may differ by exactly pi (same rectangle)
+        diff[:, 6] = np.minimum(diff[:, 6], np.abs(diff[:, 6] - np.pi))
+        assert diff.max() < 2e-4, diff.max(0)
+    finally:
+        sys.modules.pop("sort_vertices", None)
+        sys.path.remove("/root/reference/nerf_rpn")
+        for name in [m for m in sys.modules
+                     if m == "model" or m.startswith("model.")]:
+            del sys.modules[name]
