@@ -215,6 +215,77 @@ def report(trace_dir: str, top: int, iters: int = 10, unit: str = "") -> None:
               f"{r['ln'][:66]}")
 
 
+def _union_ms(iv):
+    """Total length (ms) of the union of [t0, t1) microsecond intervals."""
+    tot, cur0, cur1 = 0.0, None, None
+    for t0, t1 in sorted(iv):
+        if cur1 is None or t0 > cur1:
+            if cur1 is not None:
+                tot += cur1 - cur0
+            cur0, cur1 = t0, t1
+        else:
+            cur1 = max(cur1, t1)
+    if cur1 is not None:
+        tot += cur1 - cur0
+    return tot / 1e3
+
+
+def report_gaps(trace_dir: str, iters: int = 10) -> None:
+    """Wall-vs-trace decomposition (VERDICT r4 #4): where does the device
+    idle sit?  From the trace timestamps computes, over the traced steps:
+
+      - per-step span (first op start -> last op end within each jit step)
+      - busy = union of op-event intervals inside the span
+      - intra-step idle = span - busy (fusion-boundary bubbles)
+      - inter-step gap = next step's first op start - this step's last op
+        end (host dispatch / queue drain not overlapped by chaining)
+
+    The chained-protocol wall number ~= span + inter-gap + tunnel jitter;
+    the roofline tables above report only `busy`.
+    """
+    p = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))[-1]
+    with gzip.open(p) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    pids = {e["pid"]: e["args"]["name"] for e in ev
+            if e.get("ph") == "M" and e.get("name") == "process_name"}
+    dev = {q for q, n in pids.items() if "TPU" in n}
+    # step extents: the jit_* module spans (one per dispatched step program)
+    steps = sorted((e["ts"], e["ts"] + e.get("dur", 0), e["name"].split("(")[0])
+                   for e in ev if e.get("ph") == "X" and e["pid"] in dev
+                   and e["name"].startswith("jit_") and e.get("dur", 0) > 1e3)
+    ops = [(e["ts"], e["ts"] + e.get("dur", 0)) for e in ev
+           if e.get("ph") == "X" and e["pid"] in dev
+           and not e["name"].startswith("jit_") and e.get("dur", 0) > 0]
+    per_step = []
+    for i, (s0, s1, name) in enumerate(steps):
+        inside = [(a, b) for a, b in ops if s0 <= a < s1]
+        if not inside:
+            continue
+        first = min(a for a, _ in inside)
+        last = max(b for _, b in inside)
+        busy = _union_ms(inside)
+        span = (last - first) / 1e3
+        gap_next = (steps[i + 1][0] - s1) / 1e3 if i + 1 < len(steps) else None
+        per_step.append((name, span, busy, span - busy, gap_next))
+    print(f"{len(per_step)} step spans; per-step (ms):")
+    print(f"{'step':28s} {'span':>8s} {'busy':>8s} {'intra-idle':>10s} "
+          f"{'gap->next':>9s}")
+    for name, span, busy, idle, gap in per_step:
+        g = f"{gap:9.2f}" if gap is not None else "        -"
+        print(f"{name[:28]:28s} {span:8.2f} {busy:8.2f} {idle:10.2f} {g}")
+    if per_step:
+        import statistics as st
+        spans = [s for _, s, _, _, _ in per_step]
+        busys = [b for _, _, b, _, _ in per_step]
+        idles = [i for _, _, _, i, _ in per_step]
+        gaps = [g for *_, g in per_step if g is not None]
+        print(f"\nmedians: span={st.median(spans):.2f}  "
+              f"busy={st.median(busys):.2f}  "
+              f"intra-idle={st.median(idles):.2f}  "
+              f"inter-gap={st.median(gaps) if gaps else 0:.2f} ms")
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--jnp-attn", action="store_true",
@@ -234,6 +305,9 @@ if __name__ == "__main__":
                          "jit_fwd_stages")
     ap.add_argument("--dir", default=None)
     ap.add_argument("--report-only", action="store_true")
+    ap.add_argument("--gaps", action="store_true",
+                    help="also print the wall-vs-trace decomposition "
+                         "(per-step span/busy/idle/inter-step gap)")
     args = ap.parse_args()
     d = args.dir or ("/tmp/trace_train" if args.train else
                      "/tmp/trace_fcos" if args.fcos else
@@ -249,3 +323,6 @@ if __name__ == "__main__":
             capture(d, args.jnp_attn, fcos=args.fcos, backbone=args.backbone,
                     batch=args.batch)
     report(d, args.top, unit=args.unit)
+    if args.gaps:
+        print()
+        report_gaps(d)

@@ -46,6 +46,13 @@ GATES = {
     # stage-2 RCNN fine-tune: AP@25 of the refined+filtered proposals, plus
     # a classification-accuracy gate checked separately in run_combo
     "rcnn": 0.8,
+    # headline bench shape class (VERDICT r4 #8): swin_s anchor RPN on
+    # (200, 200, 130) scenes bucket-padded to 208x208x144 — gates the
+    # large-N propose path (safe_top_k at ~1.2M anchors, bitmask NMS, the
+    # native-layout delta gather) and the bucketing machinery the 32^3
+    # combos never touch.  TPU-sized: run with --platform default on the
+    # chip (CPU would take hours).
+    "rpn_aabb_r200": 0.9,
 }
 RCNN_ACCURACY_GATE = 0.9
 
@@ -65,6 +72,7 @@ GATES_AP50 = {
     "fcos_aabb": 0.8,
     "fcos_obb": 0.8,
     "rcnn": 0.8,
+    "rpn_aabb_r200": 0.8,
 }
 
 
@@ -100,6 +108,44 @@ def run_rpn_gate(data_dir, save_path, rotated, num_epochs=60, seed=0):
         "--flip_prob", "0.5", "--rotate_prob", "0.5",
         "--rot_scale_prob", "0.0",
         "--eval_interval", "5",
+        "--log_to_file",
+        "--seed", str(seed),
+    ])
+    run_rpn.main(common + [
+        "--mode", "eval",
+        "--checkpoint", os.path.join(save_path, "model_best"),
+    ])
+    with open(os.path.join(save_path, "eval.json")) as f:
+        return json.load(f)
+
+
+def run_rpn_gate_r200(data_dir, save_path, num_epochs=60, seed=0):
+    """Headline-shape-class gate: swin_s anchor RPN, (200, 200, 130) scenes
+    bucket-padded to 208x208x144 (the bench.py headline config, reference
+    ``run_rpn.py:594-617`` benchmark shape).  Trains from scratch on 8
+    synthetic scenes; a correctly-wired large-shape propose path (hierarchical
+    top-k over ~1.2M anchors, NMS, native-layout decode) must localize."""
+    from nerf_rpn_tpu.cli import run_rpn
+
+    common = [
+        "--features_path", data_dir,
+        "--boxes_path", data_dir,
+        "--dataset_split", os.path.join(data_dir, "split.npz"),
+        "--resolution", "200",
+        "--pad_multiple", "16",
+        "--max_gt", "8",
+        "--save_path", save_path,
+        "--backbone_type", "swin_s",
+        "--bf16",
+    ]
+    run_rpn.main(common + [
+        "--mode", "train",
+        "--num_epochs", str(num_epochs),
+        "--batch_size", "2",
+        "--lr", "1e-3",
+        "--flip_prob", "0.5", "--rotate_prob", "0.5",
+        "--rot_scale_prob", "0.0",
+        "--eval_interval", "10",
         "--log_to_file",
         "--seed", str(seed),
     ])
@@ -217,6 +263,20 @@ def run_combo(combo, work_dir, num_epochs=60, seed=0):
     rotated = combo.endswith("obb")
     data_dir = os.path.join(work_dir, f"data_{combo}")
     save_path = os.path.join(work_dir, f"out_{combo}")
+    if combo == "rpn_aabb_r200":
+        # bench shape class: fewer, bigger scenes (each npz ~21 MB)
+        write_synthetic_dataset(
+            data_dir, n_train=8, n_val=2, n_test=4,
+            resolution=(200, 200, 130), box_size=(24.0, 72.0), max_boxes=4,
+            seed=seed)
+        results = run_rpn_gate_r200(data_dir, save_path,
+                                    num_epochs=num_epochs, seed=seed)
+        ap25 = results["ap_25"]["ap"]
+        ap50 = results["ap_50"]["ap"]
+        r25 = next(v["ar"] for k, v in results.items()
+                   if k.startswith("recall_25"))
+        curve = parse_recall_curve(os.path.join(save_path, "run_rpn.log"))
+        return ap25, ap50, r25, results, curve
     write_synthetic_dataset(data_dir, rotated=rotated, seed=seed)
 
     if combo == "rcnn":
@@ -241,7 +301,11 @@ def run_combo(combo, work_dir, num_epochs=60, seed=0):
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    p.add_argument("--combos", nargs="+", default=sorted(GATES),
+    # r200 is TPU-sized and opt-in: run it explicitly with
+    #   python scripts/synthetic_quality_gate.py --combos rpn_aabb_r200 \
+    #       --platform default
+    p.add_argument("--combos", nargs="+",
+                   default=sorted(k for k in GATES if k != "rpn_aabb_r200"),
                    choices=sorted(GATES))
     p.add_argument("--num_epochs", type=int, default=60)
     p.add_argument("--work_dir", default=None,

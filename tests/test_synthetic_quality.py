@@ -141,6 +141,20 @@ def test_quality_fcos_obb(tmp_path):
     _run_gate("fcos_obb", tmp_path, num_epochs=60)
 
 
+@pytest.mark.skipif(
+    os.environ.get("NERF_RPN_QUALITY_GATE_R200") != "1",
+    reason="TPU-sized bench-shape-class gate; set NERF_RPN_QUALITY_GATE_R200=1 "
+           "and run on the chip (scripts/synthetic_quality_gate.py "
+           "--combos rpn_aabb_r200 --platform default)",
+)
+def test_quality_rpn_aabb_r200(tmp_path):
+    """Headline bench shape class (VERDICT r4 #8): swin_s anchor RPN on
+    (200, 200, 130) scenes padded to 208x208x144 — the shape class the
+    32^3 combos never exercise (hierarchical top-k at ~1.2M anchors,
+    bucketing, native-layout propose)."""
+    _run_gate("rpn_aabb_r200", tmp_path, num_epochs=60)
+
+
 @gate
 def test_quality_rcnn(tmp_path):
     """Stage-2 fine-tune: refined+filtered AP@25 and objectness
