@@ -372,11 +372,33 @@ def _flash_fwd_call(qkv, bias, mask, num_heads, group, interpret):
         qkv, bias, mask, num_heads, group=group, interpret=interpret)
 
 
+def _pick_bwd_group(w: int, group: int, num_heads: int) -> int:
+    """Like :func:`_pick_group` but capped so the backward kernel's scoped
+    VMEM stack fits the compiler's 16 MiB budget.
+
+    The unrolled per-head loop keeps ~5-6 live f32 ``(G, N, N)`` arrays
+    per head plus the double-buffered in/out blocks on the Mosaic stack —
+    empirically ~18.5 MiB at G=25, H=6 (the batch-4 stage-1 AOT compile
+    failed with "scoped allocation 18.55M > 16.00M limit"), i.e. scoped
+    bytes scale ~G*H.  Cap G*H <= 100 (~12.4 MiB est., comfortable
+    margin); prefer a divisor of ``w`` under the cap (pads lower to full
+    copies of the (W, N, 3C) tensor — cheap at train W<=2000 but pointless
+    when a divisor exists)."""
+    cap = max(100 // num_heads, 8)
+    g = _pick_group(w, group)
+    if g <= cap:
+        return g
+    for cand in range(min(cap, w), 7, -1):
+        if w % cand == 0:
+            return cand
+    return min(cap, 16)
+
+
 def _flash_bwd_call(qkv, dout, bias, mask, num_heads, group, interpret):
     w, n, c3 = qkv.shape
     c = c3 // 3
     scale = (c // num_heads) ** -0.5
-    group = _pick_group(w, group)
+    group = _pick_bwd_group(w, group, num_heads)
     pad = (-w) % group
     if pad:
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))

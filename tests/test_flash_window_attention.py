@@ -76,6 +76,21 @@ def test_pick_group_prefers_divisible():
     assert _pick_group(7, 4) == 4        # < 8 windows: fall back to pad
 
 
+def test_pick_bwd_group_caps_scoped_vmem():
+    from nerf_rpn_tpu.ops.window_attention import _pick_bwd_group
+
+    # the batch-4 stage-1 AOT OOM case: G=25, H=6 -> 18.55 MiB scoped;
+    # the cap (G*H <= 100) must pick the largest divisor under it
+    assert _pick_bwd_group(500, 16, 6) == 10
+    assert _pick_bwd_group(250, 16, 6) == 10   # train batch-2 stage-1
+    # H=3 (stage 0) keeps the uncapped divisor choice
+    assert _pick_bwd_group(2000, 16, 3) == 16
+    assert _pick_bwd_group(1000, 16, 3) == 25
+    # no divisor under the cap: fall back to a padded group <= cap
+    assert _pick_bwd_group(509, 16, 6) == 16   # 509 prime
+    assert _pick_bwd_group(509, 16, 12) == 8
+
+
 def test_flash_grads_padded_window_count():
     # W=7 with group=4 pads to 8 (no divisor in [8, 32]): padded windows
     # must not leak into dbias (their dout is zero) and dqkv must slice
