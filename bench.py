@@ -178,13 +178,20 @@ def _train_batch(shape, batch, box_dim=7, n_gt=16, seed=0):
     }
 
 
-def bench_rpn_train(reps=10, batch=2):
+def bench_rpn_train(reps=32, batch=2):
     """Training-step throughput, the reference's dominant workload
     (``train.sh:8-27``: 200 epochs, Swin backbone, --rotated_bbox, batch
     8 over 4 GPUs = 2/device).  Full step: forward + OBB target assignment
     + losses + backward + AdamW update.  Steps chain through the returned
     TrainState (each step consumes the previous step's params), so the
-    timing needs no block_until_ready."""
+    timing needs no block_until_ready.
+
+    reps=32: the loop's ONE scalar fetch costs a fixed ~26 ms tunnel RTT,
+    so wall/step converges to the device number only as reps grows — the
+    r5 gap study (benchmarks/README.md "Wall vs trace") measured 115.6
+    ms/step at reps=8 vs 110.5 at reps=32 against a traced device span of
+    108.8 ms back-to-back; at 32 the residual is the real ~1 ms/step host
+    dispatch.  In production training there is no per-step fetch at all."""
     from nerf_rpn_tpu.models.nerf_rpn import NeRFRPN
     from nerf_rpn_tpu.models.rpn import RPNConfig
     from nerf_rpn_tpu.train.steps import make_rpn_train_step
@@ -260,7 +267,7 @@ def _emit_train_metric(name, train_step, state, batch_d, step_s, batch):
     emit(name, round(batch / step_s, 4), "scenes/sec/chip", **extra)
 
 
-def bench_fcos_train(reps=8, batch=2):
+def bench_fcos_train(reps=24, batch=2):
     """FCOS training-step throughput (``train_fcos.sh:8-31``: swin_s,
     --rotated_bbox, 160^3, batch 8 over 4 GPUs = 2/chip).  Same chained
     protocol as bench_rpn_train."""
@@ -347,7 +354,7 @@ def rcnn_train_setup(batch=2, rois=1024):
     return train_step, state, batch_d, key
 
 
-def bench_rcnn_train(reps=8, batch=2, rois=1024):
+def bench_rcnn_train(reps=24, batch=2, rois=1024):
     """RCNN second-stage fine-tune training step (``train_rcnn.sh:7-38``:
     swin backbone fine-tune, --rotated_bbox, cls_batch_size 256, batch 2,
     output_size 3^3, is_flatten; bench shape 160^3 to share the size class
