@@ -120,11 +120,20 @@ def run_rpn_gate(data_dir, save_path, rotated, num_epochs=60, seed=0):
 
 
 def run_rpn_gate_r200(data_dir, save_path, num_epochs=60, seed=0):
-    """Headline-shape-class gate: swin_s anchor RPN, (200, 200, 130) scenes
-    bucket-padded to 208x208x144 (the bench.py headline config, reference
+    """Headline-shape-class gate: anchor RPN on (200, 200, 130) scenes
+    bucket-padded to 208x208x144 (the bench.py headline shape, reference
     ``run_rpn.py:594-617`` benchmark shape).  Trains from scratch on 8
-    synthetic scenes; a correctly-wired large-shape propose path (hierarchical
-    top-k over ~1.2M anchors, NMS, native-layout decode) must localize."""
+    synthetic scenes; a correctly-wired large-shape propose path
+    (hierarchical top-k over ~1.4M anchors, NMS, native-layout decode)
+    must localize.
+
+    Uses the 32^3 gates' convergence-reliable recipe (resnet_tiny, f32,
+    lr 3e-3, head depth 2) — the gated machinery (matching/sampling over
+    1.4M anchors, safe_top_k, NMS, bucketed padding) is backbone-
+    agnostic, and a from-scratch swin_s + bf16 at lr 1e-3 provably does
+    NOT discriminate objectness in 240 steps (first r5 attempt: obj BCE
+    pinned at log 2 for 60 epochs, AP@25 0.054 with Recall@25@2500 1.0 —
+    regression learned, ranking did not; see benchmarks/README.md)."""
     from nerf_rpn_tpu.cli import run_rpn
 
     common = [
@@ -135,14 +144,14 @@ def run_rpn_gate_r200(data_dir, save_path, num_epochs=60, seed=0):
         "--pad_multiple", "16",
         "--max_gt", "8",
         "--save_path", save_path,
-        "--backbone_type", "swin_s",
-        "--bf16",
+        "--backbone_type", "resnet_tiny",
+        "--rpn_head_conv_depth", "2",
     ]
     run_rpn.main(common + [
         "--mode", "train",
         "--num_epochs", str(num_epochs),
         "--batch_size", "2",
-        "--lr", "1e-3",
+        "--lr", "3e-3",
         "--flip_prob", "0.5", "--rotate_prob", "0.5",
         "--rot_scale_prob", "0.0",
         "--eval_interval", "10",
